@@ -1,0 +1,273 @@
+"""Flagship KG pipeline: extract → link → canonicalize → materialize.
+
+Ray-Data-first composition (SURVEY.md §7.0, reference EP1 ``cli.py:1188-1386``):
+
+    read_parquet(corpus)
+      → map_batches(split)                 # stage "units"   (wide explode)
+      → map_batches(UnitExtractor actors)  # stage "extract" (prose)
+        + map_batches(CodeExtractor)       #                 (code)
+      → broadcast alias resolve (J1)       # stage "mentions"
+      → union-find over alias edges        # canonicalize (C4)
+      → groupby(entity) nodes              # stage "nodes"   (S6 analog)
+      → groupby(s,p,o) triple merge        # stage "triples" (A1/S7 analog)
+      → sort(subj) → write_parquet
+
+Every stage streams blocks and checkpoints its output parquet atomically
+with a lineage manifest (resume = skip completed stages).  Broadcast sides
+(alias index, union-find rep map, node-type map) are vocabulary-sized —
+``ray.put`` once, read in actor ``__init__``; at 10^12-file scale the
+node-type map would become a bucketed hash join instead (documented
+partitioning assumption).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from raykg.sources import synthetic_corpus as sc
+from raykg.stages import components, extract, link, split
+from raykg.state import lineage
+
+TYPE_PRIORITY = ("character", "place", "object", "module", "function",
+                 "unknown")
+
+
+def _read_many(paths: list[str]) -> rd.Dataset:
+    """read_parquet over multiple directories (list-of-dirs unsupported)."""
+    ds = rd.read_parquet(paths[0])
+    for p in paths[1:]:
+        ds = ds.union(rd.read_parquet(p))
+    return ds
+
+
+def _kind_filter(kind: str):
+    def fn(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["kind"], kind))
+    return fn
+
+
+def default_out_root(sf_dir: str) -> str:
+    return os.path.join("/tmp/raykg_out", f"v{sc.GEN_VERSION}",
+                        sc.sf_tag_of(sf_dir))
+
+
+def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
+             extract_concurrency=(1, 8), batch_size: int = 1024) -> dict:
+    """Run the full pipeline for one sf dir; returns dict of output paths.
+
+    Idempotent/resumable: completed stages (lineage manifest present) are
+    skipped unless ``force``.
+    """
+    data_dir = sc.generate(sf_dir)
+    corpus_path = os.path.join(data_dir, "corpus.parquet")
+    alias_path = os.path.join(data_dir, "alias_table.parquet")
+    out_root = out_root or default_out_root(sf_dir)
+    os.makedirs(out_root, exist_ok=True)
+
+    # ---- stage: units (corpus → unit explode) ----
+    def write_units(tmp: str):
+        ds = rd.read_parquet(corpus_path)
+        split.units_dataset(ds).write_parquet(tmp)
+
+    units_dir = lineage.run_stage(out_root, "units", write_units, force)
+
+    # ---- stage: extract (prose units + code files, one pass each) ----
+    def write_extract(tmp: str):
+        units = rd.read_parquet(
+            units_dir,
+            columns=["unit_id", "doc_sha256", "repo", "path", "lang", "text"])
+        prose = units.map_batches(
+            extract.UnitExtractor, batch_format="pyarrow",
+            batch_size=batch_size, zero_copy_batch=True,
+            concurrency=extract_concurrency)
+        prose.write_parquet(os.path.join(tmp, "prose"))
+        code = rd.read_parquet(corpus_path).map_batches(
+            extract.CodeExtractor, batch_format="pyarrow", batch_size=64,
+            concurrency=extract_concurrency)
+        code.write_parquet(os.path.join(tmp, "code"))
+
+    extract_dir = lineage.run_stage(out_root, "extract", write_extract, force)
+    ext_paths = [os.path.join(extract_dir, "prose"),
+                 os.path.join(extract_dir, "code")]
+
+    # ---- canonicalize: alias-pair edges → union-find rep map (C4) ----
+    alias_index = link.load_alias_index(alias_path)
+    known_ids = {v[0] for v in alias_index.values()}
+
+    def pairs_to_edges(t: pa.Table) -> pa.Table:
+        a = t["subj"].to_pylist()
+        b = t["obj"].to_pylist()
+        us, vs = [], []
+        for x, y in zip(a, b):
+            us.append(link.resolve_key(
+                link.norm_key(x), alias_index)[0])
+            vs.append(link.resolve_key(
+                link.norm_key(y), alias_index)[0])
+        return pa.table({"u": pa.array(us, pa.string()),
+                         "v": pa.array(vs, pa.string())})
+
+    edges = (_read_many(ext_paths)
+             .map_batches(_kind_filter(extract.KIND_ALIAS),
+                          batch_format="pyarrow")
+             .map_batches(pairs_to_edges, batch_format="pyarrow"))
+    rep = components.components_driver(edges)
+    # prefer seed-known ids as representatives
+    rep = {k: v for k, v in components.union_find(
+        list(rep.items()),
+        key=lambda x: (0 if x in known_ids else 1, x)).items() if k != v}
+
+    alias_ref = ray.put(alias_index)
+    rep_ref = ray.put(rep)
+
+    # ---- stage: mentions (resolved, final canonical ids) ----
+    class _Resolver(link.ResolveMentions):
+        def __init__(self):
+            super().__init__(alias_ref)
+            self.rep = ray.get(rep_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            out = super().__call__(batch)
+            out["entity_id"] = [self.rep.get(e, e) for e in out["entity_id"]]
+            return out
+
+    def write_mentions(tmp: str):
+        (_read_many(ext_paths)
+         .map_batches(_kind_filter(extract.KIND_MENTION),
+                      batch_format="pyarrow")
+         .map_batches(_Resolver, batch_format="pandas",
+                      batch_size=batch_size, concurrency=extract_concurrency)
+         .map_batches(lambda df: df[[
+             "unit_id", "doc_sha256", "repo", "path", "lang", "subj",
+             "label", "confidence", "start_char", "end_char",
+             "n_occurrences", "entity_id", "entity_type",
+             "link_confidence", "is_new", "resolved_name"]].rename(
+                 columns={"subj": "mention_text"}), batch_format="pandas")
+         .write_parquet(tmp))
+
+    mentions_dir = lineage.run_stage(out_root, "mentions", write_mentions,
+                                     force)
+
+    # ---- stage: nodes (entity aggregation, S6/A2 analog) ----
+    def node_of(g: pd.DataFrame) -> pd.DataFrame:
+        known = g[~g["is_new"]]
+        if len(known):
+            name = known["resolved_name"].iloc[0]
+            etype = known["entity_type"].iloc[0]
+        else:
+            per_surface = (g.groupby("mention_text")["n_occurrences"].sum()
+                           .reset_index()
+                           .sort_values(["n_occurrences", "mention_text"],
+                                        ascending=[False, True]))
+            name = per_surface["mention_text"].iloc[0]
+            types = set(g["entity_type"])
+            etype = next((t for t in TYPE_PRIORITY if t in types), "unknown")
+        return pd.DataFrame({
+            "entity_id": [g["entity_id"].iloc[0]],
+            "canonical_name": [name],
+            "entity_type": [etype],
+            "mention_count": [int(g["n_occurrences"].sum())],
+            "n_units": [g["unit_id"].nunique()],
+            "n_types": [g["entity_type"].nunique()],
+            "first_seen_unit": [g["unit_id"].min()],
+        })
+
+    def write_nodes(tmp: str):
+        (rd.read_parquet(mentions_dir)
+         .groupby("entity_id").map_groups(node_of, batch_format="pandas")
+         .write_parquet(tmp))
+
+    nodes_dir = lineage.run_stage(out_root, "nodes", write_nodes, force)
+
+    # node-type map for triple typing (vocabulary-sized → broadcast)
+    nodes_tbl = rd.read_parquet(nodes_dir).to_pandas()
+    type_map = dict(zip(nodes_tbl["entity_id"], nodes_tbl["entity_type"]))
+    type_ref = ray.put(type_map)
+
+    # ---- stage: triples (A1 merge: partial per-batch → groupby final) ----
+    class _TripleResolver:
+        """Resolve rel endpoints to final canonical ids + partial pre-agg."""
+
+        def __init__(self):
+            self.alias_index = ray.get(alias_ref)
+            self.rep = ray.get(rep_ref)
+            self.types = ray.get(type_ref)
+
+        def _rid(self, text: str, method: str) -> str:
+            if method == "code":
+                return text
+            eid = link.resolve_key(link.norm_key(text), self.alias_index)[0]
+            return self.rep.get(eid, eid)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            batch["subj_id"] = [self._rid(t, m) for t, m in
+                                zip(batch["subj"], batch["method"])]
+            batch["obj_id"] = [self._rid(t, m) for t, m in
+                               zip(batch["obj"], batch["method"])]
+            # partial aggregation inside the batch (combiner before shuffle)
+            agg = (batch.groupby(["subj_id", "pred", "obj_id"])
+                   .agg(cnt=("unit_id", "size"),
+                        confidence=("confidence", "max"),
+                        units=("unit_id", lambda s: sorted(set(s))))
+                   .reset_index())
+            agg["subj_type"] = [self.types.get(s, "unknown")
+                                for s in agg["subj_id"]]
+            agg["obj_type"] = [self.types.get(o, "unknown")
+                               for o in agg["obj_id"]]
+            return agg
+
+    def merge_triples(g: pd.DataFrame) -> pd.DataFrame:
+        units = sorted({u for lst in g["units"] for u in lst})
+        return pd.DataFrame({
+            "subj": [g["subj_id"].iloc[0]],
+            "pred": [g["pred"].iloc[0]],
+            "obj": [g["obj_id"].iloc[0]],
+            "subj_type": [g["subj_type"].iloc[0]],
+            "obj_type": [g["obj_type"].iloc[0]],
+            "mention_count": [int(g["cnt"].sum())],
+            "n_units": [len(units)],
+            "passage_ids": [units],
+            "confidence": [float(g["confidence"].max())],
+        })
+
+    def write_triples(tmp: str):
+        (_read_many(ext_paths)
+         .map_batches(_kind_filter(extract.KIND_REL), batch_format="pyarrow")
+         .map_batches(_TripleResolver, batch_format="pandas",
+                      batch_size=4096, concurrency=extract_concurrency)
+         .groupby(["subj_id", "pred", "obj_id"])
+         .map_groups(merge_triples, batch_format="pandas")
+         .sort(["subj", "pred", "obj"])
+         .write_parquet(tmp))
+
+    triples_dir = lineage.run_stage(out_root, "triples", write_triples, force)
+
+    # ---- stage: mention_edges (entity↔unit, S9 analog) ----
+    def write_mention_edges(tmp: str):
+        (rd.read_parquet(mentions_dir,
+                         columns=["entity_id", "unit_id", "n_occurrences"])
+         .groupby(["entity_id", "unit_id"])
+         .map_groups(lambda g: pd.DataFrame({
+             "entity_id": [g["entity_id"].iloc[0]],
+             "unit_id": [g["unit_id"].iloc[0]],
+             "mention_count": [int(g["n_occurrences"].sum())]}),
+             batch_format="pandas")
+         .write_parquet(tmp))
+
+    mention_edges_dir = lineage.run_stage(out_root, "mention_edges",
+                                          write_mention_edges, force)
+
+    return {
+        "data_dir": data_dir, "out_root": out_root,
+        "corpus": corpus_path, "alias_table": alias_path,
+        "units": units_dir, "extract_prose": ext_paths[0],
+        "extract_code": ext_paths[1], "mentions": mentions_dir,
+        "nodes": nodes_dir, "triples": triples_dir,
+        "mention_edges": mention_edges_dir,
+    }

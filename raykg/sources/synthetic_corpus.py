@@ -1,0 +1,396 @@
+"""Deterministic synthetic source corpus in the ``input_hint`` shape.
+
+Produces the primary input table ``(repo, path, commit, lang, content)``
+(`BASELINE.json.input_hint`) at a scale derived from the sf directory name,
+plus the broadcast ``alias_table`` (seed-entity analog of the reference's
+``data/seeds/*.json``, ``models/entities.py:6-62``) and a ``truth_triples``
+ground-truth table so exact P/R is computable (FIXTURES.md §1).
+
+Content embeds known ground truth per FIXTURES.md: exact names, aliases,
+article-prefixed place forms, unknown entities, alias statements, chapter
+markers, abbreviations and dialogue quotes. ~70% of files are prose
+(``lang='txt'``, exercising the book-side operators) and ~30% are code
+(``lang='py'``, exercising the import/def/call extractors the north star
+requires).
+
+Everything is a pure function of (GEN_VERSION, sf tag, file index) — no wall
+clock, no global RNG — so the Ray engine and the DuckDB oracle always read
+identical bytes. Generated files are cached under ``/tmp/raykg_data``.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from raykg import vocab
+from raykg.functions.textnorm import sha256_hex, slugify
+
+GEN_VERSION = 4
+CACHE_ROOT = "/tmp/raykg_data"
+
+# ---------------------------------------------------------------- name pools
+
+_CHAR_PRE = ["Al", "Bel", "Cor", "Dur", "El", "Fen", "Gal", "Hal", "Ith",
+             "Jor", "Kel", "Lor", "Mor", "Nar", "Or", "Pel", "Quil", "Rod",
+             "Ser", "Tor"]
+_CHAR_SUF = ["dric", "mor", "wyn", "dan", "ric", "dor", "mir", "grim",
+             "thas", "bard"]
+_ALIAS_PRE = ["Storm", "Oak", "Iron", "Raven", "Thorn", "Ash", "Frost",
+              "Ember", "Night", "Dawn", "Swift", "Stone", "Wolf", "Hawk",
+              "Grim", "True", "Wild", "Keen", "Bright", "Shadow"]
+_ALIAS_SUF = ["crow", "shield", "fist", "cloak", "born", "song", "ward",
+              "blade", "step", "heart"]
+_PLACE_PRE = ["Mire", "Karth", "Vael", "Dun", "Esk", "Fal", "Gor", "Hav",
+              "Ilm", "Jarn", "Krag", "Lun", "Myr", "Nim", "Ost"]
+_PLACE_SUF = ["wood", "hold", "fell", "mere", "gard", "heim", "dale", "moor"]
+_OBJ_PRE = ["Sun", "Moon", "Star", "Fire", "Ice", "Wind", "Sea", "Sky",
+            "War", "Rune"]
+_OBJ_SUF = ["stone", "ring", "blade", "horn", "crown", "lamp", "harp", "orb"]
+
+_UNKNOWN_PRE = ["Zan", "Yor", "Xim", "Wex", "Vos", "Ulm", "Tev", "Syl",
+                "Rho", "Qar"]
+_UNKNOWN_SUF = ["bek", "dal", "fin", "gos", "hul", "jat"]
+
+_MODULES = ["core", "utils", "storage", "render", "engine", "parser",
+            "index", "cache", "net", "auth", "db", "config", "log",
+            "queue", "sched", "codec", "proto", "shard", "merge", "scan"]
+_FUNCS = ["run", "init", "load", "save", "flush", "emit", "scan", "merge",
+          "split", "apply", "check", "build", "close", "open", "push",
+          "pull", "send", "recv", "pack", "unpack"]
+
+_FILLER = ("the road was long and the grass grew tall under a pale sky . "
+           "rain fell upon the hills and the wind carried no sound . "
+           "night came slowly over the quiet valley and all was still").split()
+
+
+def _combos(pres: list[str], sufs: list[str], n: int) -> list[str]:
+    out = []
+    for s in sufs:
+        for p in pres:
+            out.append(p + s)
+            if len(out) == n:
+                return out
+    return out
+
+
+def build_entity_pools() -> dict:
+    """Deterministic entity pools + alias table rows.
+
+    Characters: 60 (every 3rd has one alias). Places: 30. Objects: 20.
+    Unknowns: 30 names NOT in the alias table (Tom-Bombadil class,
+    tests/test_extract.py:132-138 analog); every 5th unknown gets an alias
+    bound only by in-text alias statements (union-find must merge them).
+    """
+    chars = _combos(_CHAR_PRE, _CHAR_SUF, 60)
+    aliases = _combos(_ALIAS_PRE, _ALIAS_SUF, 60)
+    places = _combos(_PLACE_PRE, _PLACE_SUF, 30)
+    objects = _combos(_OBJ_PRE, _OBJ_SUF, 20)
+    unknowns = _combos(_UNKNOWN_PRE, _UNKNOWN_SUF, 30)
+
+    alias_rows = []            # (entity_id, canonical_name, aliases, entity_type)
+    char_forms: list[list[str]] = []   # surface forms per character
+    for i, name in enumerate(chars):
+        al = [aliases[i]] if i % 3 == 0 else []
+        alias_rows.append((slugify(name), name, al, "character"))
+        char_forms.append([name] + al)
+    for name in places:
+        alias_rows.append((slugify(name), name, [], "place"))
+    for name in objects:
+        alias_rows.append((slugify(name), name, [], "object"))
+
+    unknown_forms: list[list[str]] = []
+    unknown_alias_pairs: list[tuple[str, str]] = []
+    for i in range(0, len(unknowns), 2):
+        if i + 1 < len(unknowns) and (i // 2) % 5 == 0:
+            # canonical form = lexicographic min, matching the engine's
+            # order-independent union-find representative (SURVEY.md C4)
+            a, b = sorted((unknowns[i], unknowns[i + 1]))
+            unknown_forms.append([a, b])
+            unknown_alias_pairs.append((a, b))
+        else:
+            unknown_forms.append([unknowns[i]])
+            if i + 1 < len(unknowns):
+                unknown_forms.append([unknowns[i + 1]])
+
+    return {
+        "chars": chars, "char_forms": char_forms, "places": places,
+        "objects": objects, "unknown_forms": unknown_forms,
+        "unknown_alias_pairs": unknown_alias_pairs, "alias_rows": alias_rows,
+    }
+
+
+# Verb-phrase categories: subject is always a character.
+PP_VERBS = [v for v, p in vocab.VERB_PHRASE_TO_PRED.items() if p in (
+    "SPOKE_TO", "SPOKE_WITH", "TRAVELED_WITH", "FOUGHT", "FOUGHT_AGAINST",
+    "ALLIED_WITH", "BETRAYED", "HELPED", "CAPTURED", "FREED", "KILLED",
+    "MET", "SERVES", "LEADS")]
+PL_VERBS = [v for v, p in vocab.VERB_PHRASE_TO_PRED.items() if p in (
+    "TRAVELED_TO", "ENTERED", "LEFT", "LIVES_IN", "VISITED", "RULES",
+    "GUARDS")]
+PO_VERBS = [v for v, p in vocab.VERB_PHRASE_TO_PRED.items() if p in (
+    "POSSESSES", "GAVE", "RECEIVED", "FOUND", "LOST", "STOLE", "USED",
+    "CREATED", "DESTROYED")]
+for _lst in (PP_VERBS, PL_VERBS, PO_VERBS):
+    _lst.sort()
+
+
+def _zipf_probs(n: int, a: float = 1.1) -> np.ndarray:
+    p = 1.0 / np.arange(1, n + 1) ** a
+    return p / p.sum()
+
+
+class _FileGen:
+    """Deterministic generator for one corpus file."""
+
+    def __init__(self, pools: dict, idx: int):
+        self.pools = pools
+        self.rng = np.random.RandomState((1_000_003 * idx + 42) % (2**31 - 1))
+        self.truth: list[tuple[str, str, str]] = []   # (subj_id, pred, obj_id)
+        n_char = len(pools["char_forms"])
+        self._pc = _zipf_probs(n_char)
+        self._pp = _zipf_probs(len(pools["places"]))
+        self._po = _zipf_probs(len(pools["objects"]))
+        self._pu = _zipf_probs(len(pools["unknown_forms"]))
+
+    # -- entity picks (return (surface_form, canonical_entity_id)) --
+    def pick_char(self) -> tuple[str, str]:
+        if self.rng.rand() < 0.12:
+            # Unknown entities always use their canonical surface: their alias
+            # form is only linkable through an alias statement, which may not
+            # be sampled into this corpus.
+            forms = self.pools["unknown_forms"][
+                self.rng.choice(len(self.pools["unknown_forms"]), p=self._pu)]
+            return forms[0], slugify(forms[0])
+        forms = self.pools["char_forms"][
+            self.rng.choice(len(self.pools["char_forms"]), p=self._pc)]
+        surface = forms[0] if (len(forms) == 1 or self.rng.rand() < 0.7) else forms[1]
+        return surface, slugify(forms[0])
+
+    def pick_place(self) -> tuple[str, str]:
+        name = self.pools["places"][self.rng.choice(len(self.pools["places"]), p=self._pp)]
+        return name, slugify(name)
+
+    def pick_obj(self) -> tuple[str, str]:
+        name = self.pools["objects"][self.rng.choice(len(self.pools["objects"]), p=self._po)]
+        return name, slugify(name)
+
+    # -- sentence templates --
+    def sent_relation(self) -> str:
+        kind = self.rng.choice(3, p=[0.5, 0.3, 0.2])
+        s, sid = self.pick_char()
+        if kind == 0:
+            verb = PP_VERBS[self.rng.randint(len(PP_VERBS))]
+            o, oid = self.pick_char()
+            while oid == sid:
+                o, oid = self.pick_char()
+            text = f"{s} {verb} {o}."
+        elif kind == 1:
+            verb = PL_VERBS[self.rng.randint(len(PL_VERBS))]
+            o, oid = self.pick_place()
+            art = "the " if self.rng.rand() < 0.3 else ""
+            text = f"{s} {verb} {art}{o}."
+        else:
+            verb = PO_VERBS[self.rng.randint(len(PO_VERBS))]
+            o, oid = self.pick_obj()
+            text = f"{s} {verb} the {o}."
+        self.truth.append((sid, vocab.VERB_PHRASE_TO_PRED[verb], oid))
+        return text
+
+    def sent_cooccur(self) -> str:
+        a, _ = self.pick_char()
+        b, _ = self.pick_char()
+        p, _ = self.pick_place()
+        return f"{a} and {b} waited near {p}."
+
+    def sent_dialogue(self) -> str:
+        s, _ = self.pick_char()
+        verb = vocab.SPEECH_VERBS[self.rng.randint(len(vocab.SPEECH_VERBS))]
+        quotes = ['"We must go at once,"', '"It is too late,"',
+                  '"Who walks there?"', '"Hold the gate!"',
+                  '"The night is cold,"']
+        q = quotes[self.rng.randint(len(quotes))]
+        return f"{q} {verb} {s}."
+
+    def sent_alias(self) -> str:
+        pairs = []
+        for i, forms in enumerate(self.pools["char_forms"]):
+            if len(forms) > 1:
+                pairs.append((forms[0], forms[1]))
+        pairs += self.pools["unknown_alias_pairs"]
+        a, b = pairs[self.rng.randint(len(pairs))]
+        return f"{a}, also known as {b}, rested awhile."
+
+    def sent_temporal(self) -> str:
+        era = vocab.ERAS[self.rng.randint(len(vocab.ERAS))]
+        year = int(self.rng.randint(1, 3000))
+        s, sid = self.pick_char()
+        o, oid = self.pick_obj()
+        self.truth.append((sid, "DESTROYED", oid))
+        return f"In the {era} Age, year {year}, {s} destroyed the {o}."
+
+    def sent_title(self) -> str:
+        title = vocab.TITLES[self.rng.randint(len(vocab.TITLES))]
+        s, _ = self.pick_char()
+        return f"{title} {s} rode onward without rest."
+
+    def sent_filler(self) -> str:
+        n = self.rng.randint(6, 14)
+        idx = self.rng.randint(0, len(_FILLER), size=n)
+        words = [_FILLER[i] for i in idx if _FILLER[i] != "."]
+        if self.rng.rand() < 0.1:
+            words.append(vocab.ARCHAISMS[self.rng.randint(len(vocab.ARCHAISMS))])
+        if self.rng.rand() < 0.05:
+            words.insert(min(2, len(words)), "Mr. Baggins")
+        txt = " ".join(words)
+        return "The " + txt + "."
+
+    def sentence(self) -> str:
+        r = self.rng.rand()
+        if r < 0.30:
+            return self.sent_relation()
+        if r < 0.42:
+            return self.sent_cooccur()
+        if r < 0.54:
+            return self.sent_dialogue()
+        if r < 0.60:
+            return self.sent_alias()
+        if r < 0.68:
+            return self.sent_temporal()
+        if r < 0.73:
+            return self.sent_title()
+        return self.sent_filler()
+
+    def prose_content(self) -> str:
+        paras: list[str] = []
+        n_paras = int(self.rng.randint(12, 21))
+        chapter = 0
+        for p in range(n_paras):
+            if p % 6 == 0:
+                chapter += 1
+                paras.append(f"Chapter {chapter}")
+            n_sent = int(self.rng.randint(3, 7))
+            paras.append(" ".join(self.sentence() for _ in range(n_sent)))
+        return "\n\n".join(paras) + "\n"
+
+    def code_content(self, modname: str) -> str:
+        rng = self.rng
+        n_imp = int(rng.randint(2, 5))
+        imported: list[tuple[str, str]] = []   # (local_name, module)
+        lines: list[str] = [f"# module {modname}"]
+        mods = list(rng.choice(len(_MODULES), size=n_imp, replace=False))
+        for k, mi in enumerate(mods):
+            m = _MODULES[mi]
+            if m == modname:
+                continue
+            if k == 1:
+                local = m[:2] + "x"
+                lines.append(f"import {m} as {local}")
+                imported.append((local, m))
+                self.truth.append((modname, "ALIASES", m))
+            else:
+                lines.append(f"import {m}")
+                imported.append((m, m))
+            self.truth.append((modname, "IMPORTS", m))
+        lines.append("")
+        n_defs = int(rng.randint(2, 5))
+        defs = list(rng.choice(len(_FUNCS), size=n_defs, replace=False))
+        def_names = [f"{_FUNCS[d]}_{int(rng.randint(100))}" for d in defs]
+        for dn in def_names:
+            self.truth.append((modname, "DEFINES", f"{modname}.{dn}"))
+            lines.append(f"def {dn}():")
+            n_calls = int(rng.randint(1, 4))
+            for _ in range(n_calls):
+                local, target = imported[int(rng.randint(len(imported)))]
+                fn = _FUNCS[int(rng.randint(len(_FUNCS)))]
+                lines.append(f"    {local}.{fn}()")
+                self.truth.append((f"{modname}.{dn}", "CALLS", f"{target}.{fn}"))
+            lines.append("")
+        return "\n".join(lines)
+
+
+def sf_tag_of(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+def n_files_for(sf_tag: str) -> int:
+    m = re.match(r"sf([0-9.]+)", sf_tag)
+    sf = float(m.group(1)) if m else 0.001
+    return int(min(20000, max(20, round(20000 * sf))))
+
+
+def corpus_dir(sf_dir: str) -> str:
+    return os.path.join(CACHE_ROOT, f"v{GEN_VERSION}", sf_tag_of(sf_dir))
+
+
+def generate(sf_dir: str, force: bool = False) -> str:
+    """Generate (or reuse cached) corpus/alias/truth parquet for an sf dir.
+
+    Returns the cache directory containing ``corpus.parquet``,
+    ``alias_table.parquet`` and ``truth_triples.parquet``.
+    """
+    out = corpus_dir(sf_dir)
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker) and not force:
+        return out
+    os.makedirs(out, exist_ok=True)
+    pools = build_entity_pools()
+    n = n_files_for(sf_tag_of(sf_dir))
+    n_repos = max(4, n // 40)
+
+    repos, paths, commits, langs, contents = [], [], [], [], []
+    truth_rows: list[tuple[str, str, str, str]] = []   # (path, subj, pred, obj)
+    for i in range(n):
+        g = _FileGen(pools, i)
+        repo = f"acme/repo{i % n_repos:03d}"
+        is_code = (i % 10) >= 7      # 30% code files
+        if is_code:
+            modname = f"mod{i:05d}"
+            path = f"src/{modname}.py"
+            content = g.code_content(modname)
+            lang = "py"
+        else:
+            path = f"text/part{i:05d}.txt"
+            content = g.prose_content()
+            lang = "txt"
+        repos.append(repo)
+        paths.append(path)
+        commits.append(sha256_hex(repo)[:40])
+        langs.append(lang)
+        contents.append(content)
+        for s, p, o in g.truth:
+            truth_rows.append((path, s, p, o))
+
+    corpus = pa.table({
+        "repo": pa.array(repos, pa.string()),
+        "path": pa.array(paths, pa.string()),
+        "commit": pa.array(commits, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "content": pa.array(contents, pa.string()),
+    })
+    pq.write_table(corpus, os.path.join(out, "corpus.parquet"))
+
+    ar = pools["alias_rows"]
+    alias_tbl = pa.table({
+        "entity_id": pa.array([r[0] for r in ar], pa.string()),
+        "canonical_name": pa.array([r[1] for r in ar], pa.string()),
+        "aliases": pa.array([r[2] for r in ar], pa.list_(pa.string())),
+        "entity_type": pa.array([r[3] for r in ar], pa.string()),
+    })
+    pq.write_table(alias_tbl, os.path.join(out, "alias_table.parquet"))
+
+    truth = pa.table({
+        "path": pa.array([r[0] for r in truth_rows], pa.string()),
+        "subj": pa.array([r[1] for r in truth_rows], pa.string()),
+        "pred": pa.array([r[2] for r in truth_rows], pa.string()),
+        "obj": pa.array([r[3] for r in truth_rows], pa.string()),
+    })
+    pq.write_table(truth, os.path.join(out, "truth_triples.parquet"))
+
+    with open(marker, "w") as f:
+        f.write(f"n_files={n}\n")
+    return out

@@ -1,0 +1,328 @@
+"""Extract stage: units → unified extraction rows (mentions, candidate
+relations, alias pairs, events) in ONE pass; plus the code-domain extractor
+over raw corpus rows.
+
+Transposed reference semantics:
+
+* proper-noun mention detection — capitalized-token pass with blocklist
+  (the deterministic analog of spaCy PROPN fallback, ``extract/ner.py:137-156``)
+  plus title patterns (``extract/ner.py:34-44``, conf 0.9).  One mention row
+  per (unit, surface form) with an occurrence count (the reference counts a
+  mention per passage sighting, ``graph/writer.py:121-127``).
+* regex SVO relation extraction — the deterministic analog of the dependency
+  path (``extract/relationships.py:161-234``) using the closed verb-phrase map
+  (``vocab.VERB_PHRASE_TO_PRED``); within-unit dedup keeps max confidence
+  (``extract/relationships.py:384-398``).
+* alias statements — ``extract/dynamic_resolver.py:311-350`` (R10): emits
+  explicit alias-pair rows that become union-find edges.
+* temporal / event extraction — ``lore/temporal.py:294-346`` +
+  ``lore/events.py:621-646`` (M16/M17): era+year columns and
+  agent/action/patient event rows.
+* code extractor — the north-star transposition: imports / definitions /
+  call sites per language, with ``import x as y`` aliasing resolved in-file
+  (analogous to alias statements).
+
+The extractor is a callable CLASS for ``map_batches`` (actor pool): all
+regexes compile once per actor in ``__init__`` (reference lazily builds its
+spaCy pipeline once per process, ``extract/ner.py:64-76``).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+from raykg import vocab
+from raykg.functions.textnorm import norm_key, slugify
+
+# --- shared pattern constants (mirrored in oracle SQL) ---
+CAP_TOKEN_PATTERN = r"\b[A-Z][a-z]+\b"
+TITLE_NAME_PATTERN = r"\b(?:" + "|".join(vocab.TITLES) + r")\s+([A-Z][a-z]+)\b"
+VERB_ALTERNATION = "|".join(re.escape(v) for v in vocab.VERB_PHRASES_ORDERED)
+SVO_PATTERN = (r"\b([A-Z][a-z]+) (" + VERB_ALTERNATION +
+               r") (?:the )?([A-Z][a-z]+)\b")
+ALIAS_STMT_PATTERN = r"\b([A-Z][a-z]+), also known as ([A-Z][a-z]+)\b"
+ERA_YEAR_PATTERN = (r"\bIn the (" + "|".join(vocab.ERAS) +
+                    r") Age, year (\d+)\b")
+
+MENTION_CONF = 0.7          # PROPN-fallback confidence (ner.py:156)
+TITLE_CONF = 0.9            # title-pattern confidence (ner.py:160-177)
+REL_CONF = 0.7              # pattern-method confidence (relationships.py:234)
+EVENT_CONF = 0.6            # pattern event confidence (events.py:621-646)
+CODE_CONF = 0.9
+
+KIND_MENTION = "mention"
+KIND_REL = "rel"
+KIND_ALIAS = "alias_pair"
+KIND_EVENT = "event"
+
+_OUT_SCHEMA = pa.schema([
+    ("kind", pa.string()),
+    ("unit_id", pa.string()),
+    ("doc_sha256", pa.string()),
+    ("repo", pa.string()),
+    ("path", pa.string()),
+    ("lang", pa.string()),
+    ("subj", pa.string()),
+    ("pred", pa.string()),
+    ("obj", pa.string()),
+    ("label", pa.string()),
+    ("confidence", pa.float64()),
+    ("method", pa.string()),
+    ("start_char", pa.int32()),
+    ("end_char", pa.int32()),
+    ("n_occurrences", pa.int64()),
+    ("era", pa.string()),
+    ("year", pa.int64()),
+])
+
+
+def dedup_overlapping_spans(spans: list[tuple[int, int, float, str, str]]):
+    """Overlap dedup (reference extract/ner.py:262-290): sort by
+    (start, -confidence); greedily accept; an overlapping later span replaces
+    an accepted one iff strictly higher confidence AND >= length.
+
+    spans: (start, end, confidence, text, label); returns kept spans sorted
+    by start.
+    """
+    ordered = sorted(spans, key=lambda s: (s[0], -s[2]))
+    kept: list[tuple[int, int, float, str, str]] = []
+    for sp in ordered:
+        replaced = False
+        overlap_idx = None
+        for i, k in enumerate(kept):
+            if sp[0] < k[1] and k[0] < sp[1]:      # overlap
+                overlap_idx = i
+                break
+        if overlap_idx is None:
+            kept.append(sp)
+        else:
+            k = kept[overlap_idx]
+            if sp[2] > k[2] and (sp[1] - sp[0]) >= (k[1] - k[0]):
+                kept[overlap_idx] = sp
+                replaced = True
+        _ = replaced
+    return sorted(kept, key=lambda s: s[0])
+
+
+class UnitExtractor:
+    """Actor-pool callable: units batch → unified extraction rows."""
+
+    def __init__(self):
+        self.cap_re = re.compile(CAP_TOKEN_PATTERN)
+        self.title_re = re.compile(TITLE_NAME_PATTERN)
+        self.svo_re = re.compile(SVO_PATTERN)
+        self.alias_re = re.compile(ALIAS_STMT_PATTERN)
+        self.era_re = re.compile(ERA_YEAR_PATTERN)
+        self.blocklist = frozenset(vocab.CAP_BLOCKLIST)
+
+    def _rows_for_unit(self, meta: tuple, text: str, rows: list):
+        unit_id, sha, repo, path, lang = meta
+
+        def emit(kind, subj, pred=None, obj=None, label=None, conf=None,
+                 method="pattern", start=-1, end=-1, n_occ=1, era=None,
+                 year=None):
+            rows.append((kind, unit_id, sha, repo, path, lang, subj, pred,
+                         obj, label, conf, method, start, end, n_occ, era,
+                         year))
+
+        # mentions: one row per (unit, surface form)
+        title_names = set(self.title_re.findall(text))
+        occ: dict[str, list[tuple[int, int]]] = {}
+        for m in self.cap_re.finditer(text):
+            tok = m.group(0)
+            if tok in self.blocklist:
+                continue
+            occ.setdefault(tok, []).append(m.span())
+        for tok, spans in occ.items():
+            is_person = tok in title_names
+            emit(KIND_MENTION, tok,
+                 label="PERSON" if is_person else "UNKNOWN",
+                 conf=TITLE_CONF if is_person else MENTION_CONF,
+                 start=spans[0][0], end=spans[0][1], n_occ=len(spans))
+
+        # candidate relations (within-unit dedup = max conf per key; all
+        # pattern confs are equal so dedup == distinct)
+        seen_rel = set()
+        for m in self.svo_re.finditer(text):
+            s, verb, o = m.group(1), m.group(2), m.group(3)
+            pred = vocab.VERB_PHRASE_TO_PRED.get(verb, vocab.FALLBACK_PREDICATE)
+            key = (s.lower(), pred, o.lower())
+            if key in seen_rel:
+                continue
+            seen_rel.add(key)
+            emit(KIND_REL, s, pred=pred, obj=o, conf=REL_CONF,
+                 start=m.start(), end=m.end())
+
+        # alias statements → union-find edges
+        for m in self.alias_re.finditer(text):
+            emit(KIND_ALIAS, m.group(1), pred="ALIAS_OF", obj=m.group(2),
+                 conf=1.0, start=m.start(), end=m.end())
+
+        # temporal + events: era/year attach to SVO matches in the same unit
+        em = self.era_re.search(text)
+        if em is not None:
+            era, year = em.group(1), int(em.group(2))
+            for m in self.svo_re.finditer(text):
+                s, verb, o = m.group(1), m.group(2), m.group(3)
+                emit(KIND_EVENT, s, pred=verb, obj=o, conf=EVENT_CONF,
+                     era=era, year=year)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows: list[tuple] = []
+        unit_ids = batch["unit_id"].to_pylist()
+        shas = batch["doc_sha256"].to_pylist()
+        repos = batch["repo"].to_pylist()
+        paths = batch["path"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        texts = batch["text"].to_pylist()
+        for i in range(len(unit_ids)):
+            if langs[i] != "txt":
+                continue
+            meta = (unit_ids[i], shas[i], repos[i], paths[i], langs[i])
+            self._rows_for_unit(meta, texts[i], rows)
+        return _rows_to_table(rows)
+
+
+def _rows_to_table(rows: list[tuple]) -> pa.Table:
+    cols = list(zip(*rows)) if rows else [[] for _ in _OUT_SCHEMA.names]
+    return pa.table(
+        {name: pa.array(list(cols[i]), _OUT_SCHEMA.types[i])
+         for i, name in enumerate(_OUT_SCHEMA.names)})
+
+
+# ----------------------------------------------------------------- code side
+
+CODE_IMPORT_PATTERN = r"(?m)^import (\w+)(?: as (\w+))?$"
+CODE_FROM_PATTERN = r"(?m)^from (\w+) import (\w+)$"
+CODE_DEF_PATTERN = r"(?m)^(?:def|class) (\w+)"
+CODE_CALL_PATTERN = r"(?m)^\s+(?:(\w+)\.)?(\w+)\(\)"
+
+
+class CodeExtractor:
+    """Actor-pool callable over corpus rows (lang != 'txt'): emits code-domain
+    mentions and candidate triples.  Per-file import-alias resolution is the
+    code analog of the reference's alias statements (dynamic_resolver.py:311-350).
+
+    Emitted triples (subjects/objects are final canonical ids — code ids are
+    already canonical, no union-find needed):
+      (module, IMPORTS, target)        for every import
+      (module, ALIASES, target)        for ``import x as y``
+      (module, IMPORTS_FROM, tgt.sym)  for ``from x import sym``
+      (module, DEFINES, module.name)   for top-level def/class
+      (module.def, CALLS, tgt.fn)      for call sites, aliases resolved
+    """
+
+    def __init__(self):
+        self.import_re = re.compile(CODE_IMPORT_PATTERN)
+        self.from_re = re.compile(CODE_FROM_PATTERN)
+        self.def_re = re.compile(r"^(?:def|class) (\w+)")
+        self.call_re = re.compile(r"^\s+(?:(\w+)\.)?(\w+)\(\)")
+        self.blank_re = re.compile(r"^\s*$")
+
+    def _extract_file(self, repo: str, path: str, sha: str, content: str,
+                      rows: list):
+        module = path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+        # block index mirrors split_paragraphs numbering for unit ids
+        block = 1 if content and not self.blank_re.match(content.split("\n", 1)[0]) else 0
+        prev_blank = block == 0
+        local_to_module: dict[str, str] = {module: module}
+        local_defs: set[str] = set()
+        current_def: str | None = None
+        pending: list[tuple] = []   # call rows resolved after the full scan
+
+        def emit(kind, unit_block, subj, pred=None, obj=None, label=None,
+                 conf=CODE_CONF, n_occ=1):
+            uid = f"{sha[:12]}_c1_p{unit_block}_s1"
+            rows.append((kind, uid, sha, repo, path, "py", subj, pred, obj,
+                         label, conf, "code", -1, -1, n_occ, None, None))
+
+        for line in content.split("\n"):
+            if self.blank_re.match(line):
+                prev_blank = True
+                continue
+            if prev_blank:
+                block += 1
+                prev_blank = False
+            m = re.match(r"^import (\w+)(?: as (\w+))?$", line)
+            if m:
+                target, local = m.group(1), m.group(2)
+                local_to_module[local or target] = target
+                emit(KIND_MENTION, block, target, label="MODULE")
+                emit(KIND_REL, block, module, pred="IMPORTS", obj=target)
+                if local:
+                    emit(KIND_REL, block, module, pred="ALIASES", obj=target)
+                continue
+            m = re.match(r"^from (\w+) import (\w+)$", line)
+            if m:
+                target, sym = m.group(1), m.group(2)
+                local_to_module[sym] = target    # called bare: resolves to target
+                emit(KIND_MENTION, block, target, label="MODULE")
+                emit(KIND_REL, block, module, pred="IMPORTS", obj=target)
+                emit(KIND_REL, block, module, pred="IMPORTS_FROM",
+                     obj=f"{target}.{sym}")
+                continue
+            m = self.def_re.match(line)
+            if m:
+                current_def = m.group(1)
+                local_defs.add(current_def)
+                qual = f"{module}.{current_def}"
+                emit(KIND_MENTION, block, qual, label="FUNCTION")
+                emit(KIND_REL, block, module, pred="DEFINES", obj=qual)
+                continue
+            m = self.call_re.match(line)
+            if m and current_def is not None:
+                qualifier, fn = m.group(1), m.group(2)
+                caller = f"{module}.{current_def}"
+                pending.append((block, caller, qualifier, fn))
+
+        for block_i, caller, qualifier, fn in pending:
+            if qualifier is not None:
+                callee = f"{local_to_module.get(qualifier, qualifier)}.{fn}"
+            elif fn in local_defs:
+                callee = f"{module}.{fn}"
+            elif fn in local_to_module:        # from-import symbol
+                callee = f"{local_to_module[fn]}.{fn}"
+            else:
+                callee = fn
+            emit(KIND_MENTION, block_i, callee, label="CALL")
+            emit(KIND_REL, block_i, caller, pred="CALLS", obj=callee)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from raykg.functions.textnorm import sha256_hex
+        rows: list[tuple] = []
+        repos = batch["repo"].to_pylist()
+        paths = batch["path"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        contents = batch["content"].to_pylist()
+        for i in range(len(paths)):
+            if langs[i] == "txt":
+                continue
+            self._extract_file(repos[i], paths[i], sha256_hex(contents[i]),
+                               contents[i], rows)
+        return _rows_to_table(rows)
+
+
+def resolve_mention_entity(text: str, alias_index: dict[str, tuple[str, str]],
+                           label: str | None = None
+                           ) -> tuple[str, str, float, bool]:
+    """J1 lookup semantics (extract/resolver.py:72-89): exact lowercase →
+    conf 1.0; article-strip → 0.95; miss → new entity with slug id.
+
+    Returns (entity_id, entity_type, confidence, is_new).
+    """
+    key = norm_key(text)
+    hit = alias_index.get(key)
+    if hit is not None:
+        return hit[0], hit[1], 1.0, False
+    from raykg.functions.textnorm import strip_article
+    stripped = strip_article(key)
+    if stripped != key:
+        hit = alias_index.get(stripped)
+        if hit is not None:
+            return hit[0], hit[1], 0.95, False
+    etype = "character" if label == "PERSON" else (
+        "module" if label == "MODULE" else
+        "function" if label in ("FUNCTION", "CALL") else "unknown")
+    return slugify(key), etype, MENTION_CONF, True

@@ -1,0 +1,96 @@
+"""Checkpointed stage execution + per-partition lineage records.
+
+Modeled on the reference's chunk checkpoints (``lore/events.py:397-431``)
+but Ray-Data-native (SURVEY.md §4.4): every stage writes its output Parquet
+atomically (tmp dir → rename) together with a ``_lineage.json`` manifest
+recording per-part row counts, byte sizes and wall time.  On re-run a stage
+whose manifest exists is skipped — that is "resumes mid-pipeline after
+failure" for a batch pipeline.  The per-row ``doc_sha256`` carried by every
+table is the content-sha256 invariant the north rule requires;
+``sha_invariant_ok`` verifies it end-to-end.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+from typing import Callable
+
+import pyarrow.parquet as pq
+
+MANIFEST = "_lineage.json"
+
+
+def stage_manifest_path(out_root: str, name: str) -> str:
+    # Next to (not inside) the output dir so read_parquet(dir) sees only
+    # parquet part files.  Written only after the atomic rename → acts as
+    # the stage-completion marker.
+    return os.path.join(out_root, name + ".lineage.json")
+
+
+def stage_done(out_root: str, name: str) -> bool:
+    return os.path.exists(stage_manifest_path(out_root, name))
+
+
+def run_stage(out_root: str, name: str,
+              write_fn: Callable[[str], dict | None],
+              force: bool = False) -> str:
+    """Run ``write_fn(tmp_dir)`` (which must write parquet into tmp_dir),
+    then atomically promote to ``{out_root}/{name}`` with a lineage manifest.
+    Returns the final directory; skips the stage when already completed."""
+    final_dir = os.path.join(out_root, name)
+    if stage_done(out_root, name) and not force:
+        return final_dir
+    os.makedirs(out_root, exist_ok=True)
+    marker = stage_manifest_path(out_root, name)
+    if os.path.exists(marker):
+        os.remove(marker)
+    shutil.rmtree(final_dir, ignore_errors=True)
+    tmp_dir = final_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir, exist_ok=True)
+
+    t0 = time.time()
+    info = write_fn(tmp_dir) or {}
+    wall = time.time() - t0
+
+    parts = []
+    total_rows = 0
+    for f in sorted(glob.glob(os.path.join(tmp_dir, "**", "*.parquet"),
+                              recursive=True)):
+        meta = pq.ParquetFile(f).metadata
+        rows = meta.num_rows
+        total_rows += rows
+        parts.append({"file": os.path.relpath(f, tmp_dir), "rows": rows,
+                      "bytes": os.path.getsize(f)})
+    manifest = {"stage": name, "wall_sec": round(wall, 3),
+                "total_rows": total_rows, "partitions": parts, "info": info}
+    os.rename(tmp_dir, final_dir)
+    with open(marker, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    return final_dir
+
+
+def read_manifest(out_root: str, name: str) -> dict:
+    with open(stage_manifest_path(out_root, name)) as fh:
+        return json.load(fh)
+
+
+def sha_invariant_ok(corpus_path: str, downstream_parquet_dir: str) -> bool:
+    """North-rule invariant: the distinct ``doc_sha256`` set of a downstream
+    stage equals the sha256 set of the corpus ``content`` column."""
+    import duckdb
+    con = duckdb.connect()
+    n = con.sql(f"""
+        with c as (select distinct sha256(content) s
+                   from read_parquet('{corpus_path}')),
+             d as (select distinct doc_sha256 s
+                   from read_parquet('{downstream_parquet_dir}/*.parquet'))
+        select (select count(*) from c where s not in (select s from d))
+             + (select count(*) from d where s not in (select s from c))
+    """).fetchone()[0]
+    con.close()
+    return n == 0

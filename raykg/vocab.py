@@ -1,0 +1,140 @@
+"""Closed vocabularies shared by the generator, the Ray stages and the SQL oracles.
+
+Semantics transposed from the reference (tflynn3/book-graph-analyzer):
+
+* ``PREDICATES`` mirrors the closed 45-value ``RelationshipType`` enum
+  (reference ``models/relationships.py:7-67``) — unknown predicates coerce to
+  ``RELATED_TO`` (reference ``extract/relationships.py:353-356``).
+* ``VERB_PHRASE_TO_PRED`` is the deterministic, surface-form analog of the
+  reference's lemma→type map (``extract/relationships.py:24-86``).  We have no
+  dependency parser in the deterministic path, so the map keys are inflected
+  verb phrases matched by regex SVO patterns (reference pattern-extraction
+  analog, ``lore/events.py:621-646``).
+* ``CAP_BLOCKLIST`` plays the role of the reference's sentence-start /
+  stop-word filtering when detecting proper-noun mentions
+  (``voice/dialogue.py:280-296`` blocklist idea).
+* ``ABBREVIATIONS`` mirrors the splitter's protected-abbreviation list
+  (``ingest/splitter.py:139-170``).
+* ``CODE_PREDICATES`` is the code-domain predicate vocabulary required by the
+  north star (imports / definitions / call sites).
+
+Everything here is a plain constant so the DuckDB oracle SQL can be built
+from the *same* strings — no drift between engine and oracle.
+"""
+
+from __future__ import annotations
+
+# --- Predicate vocabulary (closed enum, reference models/relationships.py:7-67) ---
+PREDICATES: tuple[str, ...] = (
+    # character interactions
+    "SPOKE_WITH", "SPOKE_TO", "TRAVELED_WITH", "FOUGHT", "FOUGHT_AGAINST",
+    "ALLIED_WITH", "BETRAYED", "HELPED", "CAPTURED", "FREED", "KILLED", "MET",
+    # family / social
+    "PARENT_OF", "CHILD_OF", "SIBLING_OF", "MARRIED_TO", "FRIEND_OF",
+    "ENEMY_OF", "SERVES", "LEADS",
+    # object interactions
+    "POSSESSES", "POSSESSED", "GAVE", "RECEIVED", "FOUND", "LOST", "CREATED",
+    "DESTROYED", "USED", "STOLE",
+    # location interactions
+    "TRAVELED_TO", "TRAVELED_FROM", "LIVES_IN", "VISITED", "ENTERED", "LEFT",
+    "RULES", "GUARDS",
+    # place-place
+    "LOCATED_IN", "NEAR",
+    # events
+    "PARTICIPATED_IN", "WITNESSED", "CAUSED",
+    # generic
+    "MENTIONED_WITH", "RELATED_TO",
+)
+
+FALLBACK_PREDICATE = "RELATED_TO"
+
+# --- Surface verb phrase → predicate (analog of extract/relationships.py:24-86) ---
+VERB_PHRASE_TO_PRED: dict[str, str] = {
+    # speech
+    "spoke to": "SPOKE_TO", "told": "SPOKE_TO", "asked": "SPOKE_TO",
+    "answered": "SPOKE_TO", "called to": "SPOKE_TO", "whispered to": "SPOKE_TO",
+    "spoke with": "SPOKE_WITH", "talked with": "SPOKE_WITH",
+    # movement
+    "went to": "TRAVELED_TO", "traveled to": "TRAVELED_TO",
+    "came to": "TRAVELED_TO", "reached": "TRAVELED_TO", "arrived at": "TRAVELED_TO",
+    "entered": "ENTERED", "left": "LEFT", "fled": "LEFT", "escaped": "LEFT",
+    "followed": "TRAVELED_WITH", "accompanied": "TRAVELED_WITH",
+    # combat
+    "fought": "FOUGHT", "attacked": "FOUGHT_AGAINST", "defeated": "FOUGHT_AGAINST",
+    "killed": "KILLED", "slew": "KILLED", "captured": "CAPTURED", "freed": "FREED",
+    # objects
+    "gave": "GAVE", "received": "RECEIVED", "took": "POSSESSES",
+    "found": "FOUND", "lost": "LOST", "stole": "STOLE", "used": "USED",
+    "carried": "POSSESSES", "wore": "POSSESSES", "wielded": "POSSESSES",
+    # social
+    "met": "MET", "joined": "ALLIED_WITH", "helped": "HELPED",
+    "served": "SERVES", "led": "LEADS", "betrayed": "BETRAYED",
+    # location / place
+    "lived in": "LIVES_IN", "dwelt in": "LIVES_IN", "visited": "VISITED",
+    "ruled": "RULES", "guarded": "GUARDS",
+    # creation
+    "created": "CREATED", "forged": "CREATED", "destroyed": "DESTROYED",
+}
+
+# Longest-first so regex alternation is unambiguous in both re and RE2 (DuckDB).
+VERB_PHRASES_ORDERED: tuple[str, ...] = tuple(
+    sorted(VERB_PHRASE_TO_PRED, key=lambda v: (-len(v), v))
+)
+
+# --- Titles (reference extract/ner.py:34-44 TITLE_PATTERNS analog) ---
+TITLES: tuple[str, ...] = (
+    "King", "Queen", "Lord", "Lady", "Prince", "Princess", "Chief",
+    "Captain", "Steward",
+)
+
+# --- Capitalised tokens that are never proper-noun mentions ---
+# Covers template sentence-starts, eras, titles and common function words.
+CAP_BLOCKLIST: tuple[str, ...] = (
+    "A", "An", "The", "In", "On", "At", "Of", "To", "And", "But", "Or", "It",
+    "He", "She", "They", "We", "You", "I", "His", "Her", "Their", "Then",
+    "There", "When", "While", "After", "Before", "Now", "Soon", "Thus", "So",
+    "Yet", "No", "Not", "Chapter", "Part", "Prologue", "Epilogue",
+    "First", "Second", "Third", "Fourth", "Age", "Year",
+    "Mr", "Mrs", "Dr", "St", "Prof",
+) + TITLES
+
+# --- Sentence-splitter protected abbreviations (ingest/splitter.py:139-170) ---
+ABBREVIATIONS: tuple[str, ...] = (
+    "Mr", "Mrs", "Ms", "Dr", "St", "Prof", "Sr", "Jr", "vs", "etc", "No",
+    "Gen", "Col", "Capt", "Lt", "Sgt", "Rev",
+)
+
+# --- Eras (reference lore/temporal.py:17-64 — total order) ---
+ERAS: tuple[str, ...] = ("First", "Second", "Third", "Fourth")
+ERA_ORDER: dict[str, int] = {e: i for i, e in enumerate(ERAS)}
+
+# --- Speech verbs for dialogue attribution (voice/dialogue.py:16-76 analog subset) ---
+SPEECH_VERBS: tuple[str, ...] = (
+    "said", "asked", "replied", "answered", "shouted", "whispered", "cried",
+    "called", "muttered", "exclaimed", "declared", "observed", "remarked",
+)
+
+# --- Code-domain predicate vocabulary (north-star transposition) ---
+CODE_PREDICATES: tuple[str, ...] = ("IMPORTS", "IMPORTS_FROM", "DEFINES", "CALLS", "ALIASES")
+
+# --- Style: archaisms (style/metrics.py:33-41 analog, fixed 24-word list) ---
+ARCHAISMS: tuple[str, ...] = (
+    "thou", "thee", "thy", "thine", "hath", "doth", "ere", "oft", "nay",
+    "yea", "wherefore", "hither", "thither", "whence", "betwixt", "amidst",
+    "unto", "upon", "verily", "forsooth", "alas", "behold", "henceforth",
+    "naught",
+)
+
+# --- Function words for vocabulary profile / Burrows' Delta (style/metrics.py:101-121) ---
+FUNCTION_WORDS: tuple[str, ...] = (
+    "the", "and", "of", "to", "a", "in", "that", "was", "he", "it", "his",
+    "is", "with", "as", "for", "had", "they", "but", "at", "on", "be", "not",
+    "by", "this", "from", "or", "she", "her", "him", "an", "were", "which",
+    "all", "their", "there", "when", "who", "will", "more", "no", "if",
+    "out", "so", "said", "what", "up", "its", "about", "into", "than",
+)
+
+# --- Stopwords for voice profiles / quality scoring ---
+STOPWORDS: frozenset[str] = frozenset(
+    w.lower() for w in FUNCTION_WORDS
+) | {"i", "you", "we", "them", "then", "now", "very", "one", "two", "must", "shall"}
