@@ -52,6 +52,50 @@ def _kind_filter(kind: str):
     return fn
 
 
+def node_of(g: pd.DataFrame) -> pd.DataFrame:
+    """Entity aggregation (S6/A2 analog): canonical name = seed name when
+    known, else most-frequent surface (ties → name asc); type by priority."""
+    known = g[~g["is_new"]]
+    if len(known):
+        name = known["resolved_name"].iloc[0]
+        etype = known["entity_type"].iloc[0]
+    else:
+        per_surface = (g.groupby("mention_text")["n_occurrences"].sum()
+                       .reset_index()
+                       .sort_values(["n_occurrences", "mention_text"],
+                                    ascending=[False, True]))
+        name = per_surface["mention_text"].iloc[0]
+        types = set(g["entity_type"])
+        etype = next((t for t in TYPE_PRIORITY if t in types), "unknown")
+    return pd.DataFrame({
+        "entity_id": [g["entity_id"].iloc[0]],
+        "canonical_name": [name],
+        "entity_type": [etype],
+        "mention_count": [int(g["n_occurrences"].sum())],
+        "n_units": [g["unit_id"].nunique()],
+        "n_types": [g["entity_type"].nunique()],
+        "first_seen_unit": [g["unit_id"].min()],
+    })
+
+
+def merge_triples(g: pd.DataFrame) -> pd.DataFrame:
+    """A1 triple merge (``RelationshipTriple.merge_with``,
+    models/relationships.py:114-125): mention_count = sum of partial counts,
+    passage_ids = set union (sorted), confidence = max."""
+    units = sorted({u for lst in g["units"] for u in lst})
+    return pd.DataFrame({
+        "subj": [g["subj_id"].iloc[0]],
+        "pred": [g["pred"].iloc[0]],
+        "obj": [g["obj_id"].iloc[0]],
+        "subj_type": [g["subj_type"].iloc[0]],
+        "obj_type": [g["obj_type"].iloc[0]],
+        "mention_count": [int(g["cnt"].sum())],
+        "n_units": [len(units)],
+        "passage_ids": [units],
+        "confidence": [float(g["confidence"].max())],
+    })
+
+
 def default_out_root(sf_dir: str) -> str:
     return os.path.join("/tmp/raykg_out", f"v{sc.GEN_VERSION}",
                         sc.sf_tag_of(sf_dir))
@@ -154,29 +198,6 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
                                      force)
 
     # ---- stage: nodes (entity aggregation, S6/A2 analog) ----
-    def node_of(g: pd.DataFrame) -> pd.DataFrame:
-        known = g[~g["is_new"]]
-        if len(known):
-            name = known["resolved_name"].iloc[0]
-            etype = known["entity_type"].iloc[0]
-        else:
-            per_surface = (g.groupby("mention_text")["n_occurrences"].sum()
-                           .reset_index()
-                           .sort_values(["n_occurrences", "mention_text"],
-                                        ascending=[False, True]))
-            name = per_surface["mention_text"].iloc[0]
-            types = set(g["entity_type"])
-            etype = next((t for t in TYPE_PRIORITY if t in types), "unknown")
-        return pd.DataFrame({
-            "entity_id": [g["entity_id"].iloc[0]],
-            "canonical_name": [name],
-            "entity_type": [etype],
-            "mention_count": [int(g["n_occurrences"].sum())],
-            "n_units": [g["unit_id"].nunique()],
-            "n_types": [g["entity_type"].nunique()],
-            "first_seen_unit": [g["unit_id"].min()],
-        })
-
     def write_nodes(tmp: str):
         (rd.read_parquet(mentions_dir)
          .groupby("entity_id").map_groups(node_of, batch_format="pandas")
@@ -221,20 +242,6 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
             agg["obj_type"] = [self.types.get(o, "unknown")
                                for o in agg["obj_id"]]
             return agg
-
-    def merge_triples(g: pd.DataFrame) -> pd.DataFrame:
-        units = sorted({u for lst in g["units"] for u in lst})
-        return pd.DataFrame({
-            "subj": [g["subj_id"].iloc[0]],
-            "pred": [g["pred"].iloc[0]],
-            "obj": [g["obj_id"].iloc[0]],
-            "subj_type": [g["subj_type"].iloc[0]],
-            "obj_type": [g["obj_type"].iloc[0]],
-            "mention_count": [int(g["cnt"].sum())],
-            "n_units": [len(units)],
-            "passage_ids": [units],
-            "confidence": [float(g["confidence"].max())],
-        })
 
     def write_triples(tmp: str):
         (_read_many(ext_paths)

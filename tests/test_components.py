@@ -1,0 +1,62 @@
+"""Union-find / connected-components tests (canonicalize C4-C6)."""
+
+import pandas as pd
+
+from raykg.stages import components
+
+
+def test_union_find_chain():
+    rep = components.union_find([("b", "c"), ("a", "b"), ("d", "e")])
+    assert rep["b"] == "a" and rep["c"] == "a"
+    assert rep["e"] == "d"
+
+
+def test_union_find_deterministic_under_order():
+    pairs = [("x", "y"), ("y", "z"), ("w", "x")]
+    r1 = components.union_find(pairs)
+    r2 = components.union_find(list(reversed(pairs)))
+    assert r1 == r2
+    assert all(v == "w" for v in r1.values())
+
+
+def test_union_find_key_priority():
+    # seed-known id wins over lexicographically smaller unknown id
+    known = {"zed"}
+    rep = components.union_find(
+        [("alpha", "zed")], key=lambda x: (0 if x in known else 1, x))
+    assert rep["alpha"] == "zed"
+
+
+def test_components_driver(ray_session):
+    import ray.data as rd
+    edges = rd.from_pandas(pd.DataFrame(
+        {"u": ["b", "c", "e", "b"], "v": ["a", "b", "f", "a"]}))
+    rep = components.components_driver(edges)
+    assert rep["b"] == "a" and rep["c"] == "a"
+    assert rep["f"] == "e"
+
+
+def test_components_distributed(ray_session):
+    import ray.data as rd
+    edges = rd.from_pandas(pd.DataFrame(
+        {"u": ["b", "c", "d"], "v": ["a", "b", "c"]}))   # chain depth 3
+    labels = components.components_distributed(edges, num_partitions=2)
+    got = {r["node"]: r["rep"] for r in labels.take_all()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a"}
+
+
+def test_graph_assembly_merge():
+    # A1 merge semantics (models/relationships.py:114-125):
+    # k candidates with same (s,p,o) → mention_count=k, passage set-union
+    from raykg.pipelines.kg import merge_triples
+    g = pd.DataFrame({
+        "subj_id": ["a"] * 3, "pred": ["MET"] * 3, "obj_id": ["b"] * 3,
+        "subj_type": ["character"] * 3, "obj_type": ["character"] * 3,
+        "cnt": [1, 2, 1], "confidence": [0.7, 0.9, 0.8],
+        "units": [["u1"], ["u1", "u2"], ["u3"]],
+    })
+    out = merge_triples(g)
+    assert out["mention_count"].iloc[0] == 4
+    assert out["passage_ids"].iloc[0] == ["u1", "u2", "u3"]
+    assert out["n_units"].iloc[0] == 3
+    assert out["confidence"].iloc[0] == 0.9
