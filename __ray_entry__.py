@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init()`` / ``ray.shutdown()`` here or in any library code these
+callables use (``raykg`` never initialises Ray).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship extract→link→canonicalize→materialize KG
+pipeline over the deterministic synthetic source-code corpus derived from
+sf0.001 (shape per BASELINE.json.input_hint) and returns the triples
+Dataset.  ``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent SQL over the same
+deterministic parquet inputs.
 """
 
 from __future__ import annotations
@@ -18,27 +17,31 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECTNESS = "/root/testdata/sf0.01"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001; returns the triples Dataset."""
+    from raykg.pipelines import queries as Q
+    return Q.q_kg_triples(SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from raykg.pipelines import queries as Q
+    return dict(Q.QUERY_FNS)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from raykg.pipelines import queries as Q
+    from raykg.sources import synthetic_corpus as sc
+    # the driver compares at sf0.01 — make sure the deterministic corpus
+    # parquet the SQL reads exists before DuckDB runs
+    sc.generate(SF_CORRECTNESS)
+    out = {}
+    for name in Q.QUERY_FNS:
+        try:
+            out[name] = Q.oracle_for(name, SF_CORRECTNESS)
+        except KeyError:
+            pass    # rows-only check for non-SQL-expressible ops
+    return out

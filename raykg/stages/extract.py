@@ -238,6 +238,9 @@ class CodeExtractor:
             rows.append((kind, uid, sha, repo, path, "py", subj, pred, obj,
                          label, conf, "code", -1, -1, n_occ, None, None))
 
+        # the defining module is itself an entity (subject of IMPORTS/DEFINES)
+        emit(KIND_MENTION, 1, module, label="MODULE")
+
         for line in content.split("\n"):
             if self.blank_re.match(line):
                 prev_blank = True
