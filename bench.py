@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: run the headline KG pipeline (corpus → units → extract → link →
+canonicalize → materialize) over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) with ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32)`` and print ONE JSON line.
+
+``--scaling``: run the same bench in two fresh processes at num_cpus=8 and
+num_cpus=32 on the same input and report both throughputs plus scaling
+efficiency = (thr_32 / thr_8) / (32 / 8)  (sandbox evidence for the
+N→4N-nodes criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+QUERY_SET = ["style_vocab", "style_fingerprint", "dedup_jaccard_pairs",
+             "ann_topk", "event_order", "kg_cooccurrence"]
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import ray
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from raykg.pipelines import kg
+    from raykg.pipelines import queries as Q
+    from raykg.sources import synthetic_corpus as sc
+
+    # untimed: deterministic corpus generation + OS page-cache warm
+    data_dir = sc.generate(sf_dir)
+    import pyarrow.parquet as pq
+    pq.read_table(os.path.join(data_dir, "corpus.parquet"))
+
+    out_root = os.path.join("/tmp/raykg_bench",
+                            f"{sc.sf_tag_of(sf_dir)}_cpus{ncpu}")
+    shutil.rmtree(out_root, ignore_errors=True)
+
+    queries: dict[str, float] = {}
+    t0 = time.time()
+    paths = kg.build_kg(sf_dir, out_root=out_root, force=True,
+                        extract_concurrency=(1, max(2, ncpu // 2)))
+    kg_sec = time.time() - t0
+    queries["kg_pipeline"] = round(kg_sec, 3)
+
+    import pyarrow.dataset as pads
+    n_triples = pads.dataset(
+        glob.glob(os.path.join(paths["triples"], "*.parquet"))).count_rows()
+
+    # point the query cache at the freshly built pipeline outputs
+    Q._KG_CACHE[sf_dir] = paths
+    for name in QUERY_SET:
+        t0 = time.time()
+        res = Q.QUERY_FNS[name](sf_dir)
+        if hasattr(res, "count"):
+            res.count()          # consume: triggers full execution
+        queries[name] = round(time.time() - t0, 3)
+
+    sf_tag = sc.sf_tag_of(sf_dir)
+    result = {
+        "metric": "kg_e2e_sec",
+        "value": round(kg_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf_tag[2:]) if sf_tag.startswith("sf") else sf_tag,
+        "num_cpus": ncpu,
+        "triples": int(n_triples),
+        "triples_per_sec": round(n_triples / kg_sec, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_child(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                         env=env, capture_output=True, text=True,
+                         check=True).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main():
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        r_lo = run_child(lo)
+        r_hi = run_child(hi)
+        thr_lo = r_lo["triples_per_sec"]
+        thr_hi = r_hi["triples_per_sec"]
+        eff = (thr_hi / thr_lo) / (hi / lo)
+        print(json.dumps({
+            "sec_8": r_lo["value"], "sec_32": r_hi["value"],
+            "triples_per_sec_8": thr_lo, "triples_per_sec_32": thr_hi,
+            "scaling_efficiency": round(eff, 3),
+            "sf": r_lo["sf"],
+        }))
+    else:
+        print(json.dumps(run_bench()))
+
+
+if __name__ == "__main__":
+    main()

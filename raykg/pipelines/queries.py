@@ -164,6 +164,307 @@ def q_kg_cooccurrence(sf_dir: str):
             .filter(lambda r: r["pair_count"] >= 2))
 
 
+# ------------------------------------------------------ style branch queries
+
+def _metrics_ds(sf_dir: str):
+    from raykg.stages import fingerprint as fp
+    p = kg_paths(sf_dir)
+    ds = rd.read_parquet(p["units"],
+                         columns=["unit_id", "doc_sha256", "repo", "lang",
+                                  "text"])
+    return ds.map_batches(fp.unit_metrics_batch, batch_format="pyarrow",
+                          batch_size=2048)
+
+
+def q_style_unit_metrics(sf_dir: str):
+    return _metrics_ds(sf_dir).map_batches(
+        lambda t: t.drop_columns(["doc_sha256", "repo"]),
+        batch_format="pyarrow")
+
+
+def q_style_distribution(sf_dir: str):
+    from raykg.stages import fingerprint as fp
+    return (_metrics_ds(sf_dir).groupby("repo")
+            .map_groups(fp.distribution_group, batch_format="pandas"))
+
+
+def q_style_fingerprint(sf_dir: str):
+    from raykg.stages import fingerprint as fp
+    return (_metrics_ds(sf_dir).groupby("repo")
+            .map_groups(fp.fingerprint_ratios_group, batch_format="pandas"))
+
+
+def q_style_readability(sf_dir: str):
+    from raykg.stages import fingerprint as fp
+    return (_metrics_ds(sf_dir).groupby("repo")
+            .map_groups(fp.readability_group, batch_format="pandas"))
+
+
+def q_style_vocab(sf_dir: str):
+    from raykg.stages import fingerprint as fp
+    p = kg_paths(sf_dir)
+    ds = rd.read_parquet(p["units"], columns=["repo", "lang", "text"])
+    return (ds.map_batches(fp.word_counts_batch, batch_format="pyarrow",
+                           batch_size=2048)
+            .groupby(["repo", "word"])
+            .map_groups(lambda g: pd.DataFrame({
+                "repo": [g["repo"].iloc[0]], "word": [g["word"].iloc[0]],
+                "cnt": [int(g["cnt"].sum())]}), batch_format="pandas")
+            .groupby("repo")
+            .map_groups(fp.vocab_profile_group, batch_format="pandas"))
+
+
+# -------------------------------------------------- dialogue/events queries
+
+def q_dialogue_spans(sf_dir: str):
+    """M11/M12 tier-1 attributed quoted spans (full 4-tier attribution is
+    unit-tested; tier 1 is the SQL-expressible contract)."""
+    from raykg.stages import dialogue as dlg
+    p = kg_paths(sf_dir)
+    ds = rd.read_parquet(p["units"],
+                         columns=["unit_id", "doc_sha256", "repo", "lang",
+                                  "text"])
+    return (ds.map_batches(dlg.spans_batch, batch_format="pyarrow",
+                           batch_size=2048)
+            .map_batches(lambda t: t.filter(
+                pc.equal(t["attribution_tier"], 1)).drop_columns(
+                ["doc_sha256", "repo", "attribution_tier"]),
+                batch_format="pyarrow"))
+
+
+def q_voice_profiles(sf_dir: str):
+    """A12 per-speaker voice profiles over tier-1 spans (≥3 lines)."""
+    from raykg.stages import dialogue as dlg
+    p = kg_paths(sf_dir)
+    ds = rd.read_parquet(p["units"],
+                         columns=["unit_id", "doc_sha256", "repo", "lang",
+                                  "text"])
+    return (ds.map_batches(dlg.spans_batch, batch_format="pyarrow",
+                           batch_size=2048)
+            .map_batches(lambda t: t.filter(
+                pc.equal(t["attribution_tier"], 1)), batch_format="pyarrow")
+            .groupby("speaker")
+            .map_groups(dlg.voice_profile_group, batch_format="pandas"))
+
+
+def _events_ds(sf_dir: str):
+    p = kg_paths(sf_dir)
+    ext = kg._read_many([p["extract_prose"], p["extract_code"]])
+    return ext.map_batches(kg._kind_filter(extract.KIND_EVENT),
+                           batch_format="pyarrow")
+
+
+def q_events(sf_dir: str):
+    """M16/M17 raw event rows (agent/action/patient + era/year)."""
+    return _events_ds(sf_dir).map_batches(
+        lambda df: df[["unit_id", "subj", "pred", "obj", "era", "year",
+                       "confidence"]].rename(
+            columns={"subj": "agent", "pred": "action", "obj": "patient"}),
+        batch_format="pandas")
+
+
+def q_events_dedup(sf_dir: str):
+    """R6 exact event dedup via groupby(event_key) + min-unit_id winner."""
+    from raykg.stages import events as ev
+    return (ev.dedup_events(_events_ds(sf_dir))
+            .map_batches(lambda df: df[[
+                "event_key", "unit_id", "subj", "pred", "obj", "era",
+                "year"]].rename(columns={"subj": "agent", "pred": "action",
+                                         "obj": "patient"}),
+                batch_format="pandas"))
+
+
+def q_event_order(sf_dir: str):
+    """R8 temporal ordering: adjacent `before` edges over the sorted
+    deduped events (block-boundary stitching)."""
+    from raykg.stages import events as ev
+    return ev.order_edges(ev.dedup_events(_events_ds(sf_dir)))
+
+
+# ------------------------------------------- training-data ops (documents)
+
+def _docs_ds(sf_dir: str):
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+
+def q_doc_tokens(sf_dir: str):
+    from raykg.ops import textstats as ts
+    return _docs_ds(sf_dir).map_batches(ts.token_counts_batch,
+                                        batch_format="pyarrow")
+
+
+def q_doc_quality(sf_dir: str):
+    from raykg.ops import textstats as ts
+    return _docs_ds(sf_dir).map_batches(ts.quality_batch,
+                                        batch_format="pyarrow")
+
+
+def q_doc_langid(sf_dir: str):
+    from raykg.ops import textstats as ts
+    return _docs_ds(sf_dir).map_batches(ts.langid_batch,
+                                        batch_format="pyarrow")
+
+
+def q_doc_fingerprint(sf_dir: str):
+    from raykg.ops import textstats as ts
+    return _docs_ds(sf_dir).map_batches(ts.fingerprint_batch,
+                                        batch_format="pyarrow")
+
+
+def q_dedup_exact(sf_dir: str):
+    from raykg.ops import dedup as dd
+    return (_docs_ds(sf_dir)
+            .map_batches(dd.exact_dedup_batch, batch_format="pyarrow")
+            .groupby("text_md5")
+            .map_groups(lambda g: pd.DataFrame({
+                "text_md5": [g["text_md5"].iloc[0]],
+                "n_docs": [len(g)],
+                "keep_doc_id": [int(g["doc_id"].min())]}),
+                batch_format="pandas"))
+
+
+def _texts_ref(sf_dir: str):
+    """Broadcast {doc_id: text} once (ray.put) for pair verification."""
+    import ray
+    import pyarrow.parquet as pq_
+    tbl = pq_.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return ray.put(dict(zip(tbl["doc_id"].to_pylist(),
+                            tbl["text"].to_pylist())))
+
+
+def _make_jaccard_verifier(texts_ref):
+    # plain function (map_groups rejects callable classes without an actor
+    # pool); ray.get on a worker hits the local object-store cache after the
+    # first fetch, so the broadcast is still fetched once per worker
+    import ray
+    from raykg.ops import dedup as dd
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        texts = ray.get(texts_ref)
+        a = int(g["doc_a"].iloc[0])
+        b = int(g["doc_b"].iloc[0])
+        j = round(dd.jaccard_of_texts(texts[a], texts[b]), 6)
+        if j < dd.JACCARD_THRESHOLD:
+            return pd.DataFrame({
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "jaccard": pd.Series([], dtype="float64")})
+        return pd.DataFrame({"doc_a": [a], "doc_b": [b], "jaccard": [j]})
+
+    return verify
+
+
+def q_dedup_jaccard_pairs(sf_dir: str):
+    """n-gram Jaccard near-dup: shingle explode → bucket groupby →
+    candidate pairs → exact-Jaccard verify (broadcast doc texts)."""
+    from raykg.ops import dedup as dd
+    Verify = _make_jaccard_verifier(_texts_ref(sf_dir))
+    return (_docs_ds(sf_dir)
+            .map_batches(dd.shingle_explode_batch, batch_format="pyarrow")
+            .groupby("shingle")
+            .map_groups(dd.pairs_from_bucket, batch_format="pandas")
+            .groupby(["doc_a", "doc_b"])
+            .map_groups(Verify, batch_format="pandas"))
+
+
+def q_dedup_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup (scale path; no SQL oracle — rows-only check).
+    Bands → bucket groupby → candidates → exact-Jaccard verify."""
+    from raykg.ops import dedup as dd
+    Verify = _make_jaccard_verifier(_texts_ref(sf_dir))
+    return (_docs_ds(sf_dir)
+            .map_batches(dd.minhash_bands_batch, batch_format="pyarrow")
+            .groupby(["band_id", "band_hash"])
+            .map_groups(dd.pairs_from_bucket, batch_format="pandas")
+            .groupby(["doc_a", "doc_b"])
+            .map_groups(Verify, batch_format="pandas"))
+
+
+def q_simhash(sf_dir: str):
+    """SimHash 64-bit fingerprints (no SQL oracle — rows-only check)."""
+    from raykg.ops import dedup as dd
+    return (_docs_ds(sf_dir)
+            .map_batches(dd.simhash_batch, batch_format="pyarrow")
+            .map_batches(lambda df: df.assign(
+                simhash_hex=df["simhash"].apply(lambda v: f"{v:016x}"))[
+                ["doc_id", "simhash_hex"]], batch_format="pandas"))
+
+
+def q_embed_neardup(sf_dir: str):
+    """Embedding-cosine near-dup, blocked by label (per-block matmul)."""
+    from raykg.ops import similarity as sim
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        ids = g["vec_id"].to_numpy(dtype="int64")
+        vecs = np.asarray(list(g["embedding"]), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        vn = vecs / np.where(norms == 0, 1, norms)
+        sims = vn @ vn.T
+        out_a, out_b, out_c = [], [], []
+        from raykg.ops.dedup import COSINE_THRESHOLD
+        n = len(ids)
+        for i in range(n):
+            for j in range(i + 1, n):
+                c = round(float(sims[i, j]), sim.SIM_ROUND)
+                if c >= COSINE_THRESHOLD:
+                    a, b = sorted((int(ids[i]), int(ids[j])))
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_c.append(c)
+        return pd.DataFrame({"vec_a": pd.Series(out_a, dtype="int64"),
+                             "vec_b": pd.Series(out_b, dtype="int64"),
+                             "cosine": pd.Series(out_c, dtype="float64")})
+
+    return ds.groupby("label").map_groups(block_pairs, batch_format="pandas")
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-k: broadcast query matrix, per-batch matmul
+    + local top-k, global merge."""
+    import ray
+    import pyarrow.parquet as pq_
+    from raykg.ops import similarity as sim
+    tbl = pq_.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    import numpy as np
+    mask = np.asarray(tbl["vec_id"].to_pylist()) < sim.N_QUERIES
+    q_ids = np.asarray(tbl["vec_id"].to_pylist())[mask]
+    q_vecs = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)[mask]
+    query_ref = ray.put((q_ids, q_vecs))
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+
+    class TopK(sim.CosineTopK):
+        def __init__(self):
+            super().__init__(query_ref)
+
+    return (ds.map_batches(TopK, batch_size=4096, batch_format="pyarrow",
+                           concurrency=(1, 4))
+            .groupby("query_id")
+            .map_groups(sim.final_topk, batch_format="pandas"))
+
+
+def q_multimodal_features(sf_dir: str):
+    """Multimodal plumbing: binary payload column → actor-pool decode stage
+    (STUB decoder, deterministic md5-derived output)."""
+    from raykg.ops import multimodal as mm
+    return (_docs_ds(sf_dir)
+            .map_batches(mm.to_binary_batch, batch_format="pyarrow")
+            .map_batches(mm.FakeDecoder, batch_format="pyarrow",
+                         batch_size=mm.DECODE_BATCH_SIZE,
+                         concurrency=(1, 4))
+            .map_batches(lambda df: df.assign(
+                f0=df["features"].apply(lambda f: f[0]),
+                f1=df["features"].apply(lambda f: f[1]))[
+                ["doc_id", "width", "height", "f0", "f1"]],
+                batch_format="pandas"))
+
+
 # ------------------------------------------------------------- oracle SQL
 
 def _trim(e: str) -> str:
@@ -340,6 +641,37 @@ resolved AS (
   FROM mentions m
   LEFT JOIN alias_keys ak ON ak.k = lower(m.mention_text)
   LEFT JOIN uf_rep r ON r.node = coalesce(ak.entity_id, lower(m.mention_text))
+)"""
+
+
+def _syll_expr(w: str) -> str:
+    """SQL syllable heuristic == textnorm.count_syllables (lowercased)."""
+    groups = f"len(regexp_extract_all({w}, '[aeiouy]+'))"
+    return (f"greatest(1, {groups} - CASE WHEN {w} LIKE '%e' "
+            f"AND {w} NOT LIKE '%le' AND {groups} > 1 THEN 1 ELSE 0 END)")
+
+
+def unit_metrics_cte() -> str:
+    from raykg.stages import fingerprint as fp
+    arch = ", ".join(f"'{a}'" for a in vocab.ARCHAISMS)
+    words = f"regexp_extract_all(lower(text), '[a-z]+')"
+    syll = _syll_expr("w")
+    return f"""
+unit_metrics AS (
+  SELECT unit_id, doc_sha256, repo,
+    len(regexp_extract_all(text, '{fp.WORD_PATTERN}')) AS word_count,
+    CAST(length(text) AS BIGINT) AS char_count,
+    len(regexp_extract_all(text, '{fp.PUNCT_PATTERN}')) AS punct_count,
+    contains(text, '?') AS is_question,
+    contains(text, '!') AS is_exclamation,
+    contains(text, '"') AS is_dialogue,
+    len(list_filter(regexp_extract_all(text, '{fp.WORD_PATTERN}'),
+                    w -> length(w) > {fp.LONG_WORD_LEN})) AS long_word_count,
+    CAST(coalesce(list_sum(list_transform({words}, w -> {syll})), 0)
+         AS BIGINT) AS syllable_count,
+    len(list_filter({words}, w -> {syll} >= 3)) AS complex_word_count,
+    len(list_filter({words}, w -> w IN ({arch}))) AS archaism_count
+  FROM units WHERE lang = 'txt'
 )"""
 
 
@@ -609,6 +941,289 @@ LEFT JOIN type_map ts ON ts.entity_id = ar.subj
 LEFT JOIN type_map tt ON tt.entity_id = ar.obj
 GROUP BY 1, 2, 3, 4, 5"""
 
+    UM = unit_metrics_cte()
+    span_pat = ('"([^"]{2,})"' + r"\s*(" + "|".join(vocab.SPEECH_VERBS) +
+                r")\s+([A-Z][a-z]+)")
+    spans_cte = f"""
+spans AS (
+  SELECT unit_id,
+    unnest(regexp_extract_all(text, '{span_pat}', 1)) AS quote_text,
+    unnest(regexp_extract_all(text, '{span_pat}', 2)) AS speech_verb,
+    unnest(regexp_extract_all(text, '{span_pat}', 3)) AS speaker,
+    unnest(range(0, len(regexp_extract_all(text, '{span_pat}', 1)))) AS position
+  FROM units WHERE lang = 'txt'
+)"""
+    era_case = ("CASE era " + " ".join(
+        f"WHEN '{e}' THEN {i}" for e, i in vocab.ERA_ORDER.items()) +
+        " ELSE -1 END")
+    svo = extract.SVO_PATTERN.replace("'", "''")
+    ev_cte = f"""
+ev AS (
+  SELECT unit_id,
+         regexp_extract(text, '{extract.ERA_YEAR_PATTERN}', 1) AS era,
+         CAST(regexp_extract(text, '{extract.ERA_YEAR_PATTERN}', 2) AS BIGINT) AS year,
+         unnest(regexp_extract_all(text, '{svo}', 1)) AS agent,
+         unnest(regexp_extract_all(text, '{svo}', 2)) AS action,
+         unnest(regexp_extract_all(text, '{svo}', 3)) AS patient
+  FROM units
+  WHERE lang = 'txt' AND regexp_matches(text, '{extract.ERA_YEAR_PATTERN}')
+),
+keyed AS (
+  SELECT *, lower(agent) || '|' ||
+            regexp_replace(lower(action), '(ed|s)$', '') || '|' ||
+            regexp_replace(lower(patient), '^(the |a |an )', '') AS event_key
+  FROM ev
+),
+ev_dedup AS (
+  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY event_key
+                                              ORDER BY unit_id) AS rn
+                 FROM keyed) WHERE rn = 1
+)"""
+
+    if name == "dialogue_spans":
+        return f"""WITH {U},{spans_cte}
+SELECT unit_id, quote_text, speaker, speech_verb,
+       CAST(position AS BIGINT) AS position,
+       quote_text LIKE '%?' AS is_question,
+       quote_text LIKE '%!' AS is_exclamation,
+       0.9 AS attribution_conf
+FROM spans"""
+
+    if name == "voice_profiles":
+        return f"""WITH {U},{spans_cte}
+SELECT speaker, count(*) AS n_lines,
+       round(sum(CASE WHEN quote_text LIKE '%?' THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS question_ratio,
+       round(sum(CASE WHEN quote_text LIKE '%!' THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS exclamation_ratio,
+       round(avg(len(regexp_extract_all(quote_text, '[A-Za-z]+'))), 6)
+           AS mean_quote_words,
+       count(DISTINCT unit_id) AS n_units
+FROM spans GROUP BY speaker HAVING count(*) >= 3"""
+
+    if name == "events":
+        return (f"WITH {U},{ev_cte} SELECT unit_id, agent, action, patient, "
+                f"era, year, {extract.EVENT_CONF} AS confidence FROM ev")
+
+    if name == "events_dedup":
+        return (f"WITH {U},{ev_cte} SELECT event_key, unit_id, agent, "
+                "action, patient, era, year FROM ev_dedup")
+
+    if name == "event_order":
+        return f"""WITH {U},{ev_cte},
+ord AS (
+  SELECT event_key, {era_case} AS era_ord, year,
+         row_number() OVER (ORDER BY {era_case}, year, event_key) AS r
+  FROM ev_dedup
+)
+SELECT a.event_key AS event1, 'before' AS relation, b.event_key AS event2,
+       CASE WHEN a.era_ord <> b.era_ord THEN 0.95 ELSE 0.9 END AS confidence
+FROM ord a JOIN ord b ON b.r = a.r + 1
+WHERE a.era_ord <> b.era_ord OR a.year <> b.year"""
+
+    if name == "style_unit_metrics":
+        return (f"WITH {U},{UM} SELECT unit_id, word_count, char_count, "
+                "punct_count, is_question, is_exclamation, is_dialogue, "
+                "long_word_count, syllable_count, complex_word_count, "
+                "archaism_count FROM unit_metrics")
+
+    if name == "style_distribution":
+        return f"""WITH {U},{UM},
+dist_raw AS (
+  SELECT repo, count(*) AS n, avg(word_count) AS mean_,
+         CASE WHEN count(*) > 1 THEN stddev_samp(word_count) ELSE 0 END AS std_,
+         CAST(min(word_count) AS BIGINT) AS min,
+         CAST(max(word_count) AS BIGINT) AS max,
+         list(word_count ORDER BY word_count) AS arr
+  FROM unit_metrics GROUP BY repo
+)
+SELECT repo, n, round(mean_, 6) AS mean, round(std_, 6) AS std, min, max,
+       round(CASE WHEN n % 2 = 1 THEN CAST(arr[(n+1)//2] AS DOUBLE)
+                  ELSE (arr[n//2] + arr[n//2+1]) / 2.0 END, 6) AS median,
+       CAST(CASE WHEN n >= 4 THEN arr[n//4 + 1] ELSE arr[1] END AS BIGINT) AS p25,
+       CAST(CASE WHEN n >= 4 THEN arr[3*n//4 + 1] ELSE arr[n] END AS BIGINT) AS p75
+FROM dist_raw"""
+
+    if name == "style_fingerprint":
+        return f"""WITH {U},{UM}
+SELECT repo, count(*) AS n_units,
+       round(sum(CASE WHEN is_dialogue THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS dialogue_ratio,
+       round(sum(CASE WHEN is_question THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS question_ratio,
+       round(sum(CASE WHEN is_exclamation THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS exclamation_ratio,
+       round(avg(word_count), 6) AS mean_word_count
+FROM unit_metrics GROUP BY repo"""
+
+    if name == "style_readability":
+        return f"""WITH {U},{UM}
+SELECT repo, count(*) AS n_units,
+       CAST(sum(word_count) AS BIGINT) AS total_words,
+       round(206.835 - 1.015 * (sum(word_count) / CAST(count(*) AS DOUBLE))
+             - 84.6 * (sum(syllable_count) / CAST(sum(word_count) AS DOUBLE)), 2) AS flesch_reading_ease,
+       round(0.39 * (sum(word_count) / CAST(count(*) AS DOUBLE))
+             + 11.8 * (sum(syllable_count) / CAST(sum(word_count) AS DOUBLE)) - 15.59, 2) AS flesch_kincaid_grade,
+       round(0.4 * ((sum(word_count) / CAST(count(*) AS DOUBLE))
+             + sum(complex_word_count) / CAST(sum(word_count) AS DOUBLE) * 100), 2) AS gunning_fog
+FROM unit_metrics GROUP BY repo"""
+
+    if name == "style_vocab":
+        arch = ", ".join(f"'{a}'" for a in vocab.ARCHAISMS)
+        return f"""WITH {U},
+wc AS (
+  SELECT repo, word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT repo, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM units WHERE lang = 'txt')
+  GROUP BY 1, 2
+)
+SELECT repo, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       count(*) AS n_distinct,
+       CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       round(count(*) / CAST(sum(cnt) AS DOUBLE), 6) AS ttr,
+       round(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS hapax_ratio,
+       round(sum(CASE WHEN word IN ({arch}) THEN cnt ELSE 0 END)
+             / CAST(sum(cnt) AS DOUBLE) * 1000, 6) AS archaism_per_1000
+FROM wc GROUP BY repo"""
+
+    # ---- training-data ops (over the pre-registered documents/embeddings
+    #      views) ----
+    from raykg.ops import dedup as dd
+    from raykg.ops import similarity as sim
+    from raykg.ops import textstats as ts
+
+    if name == "doc_tokens":
+        return f"""SELECT doc_id,
+  len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens,
+  len(regexp_extract_all(text, '{ts.WORD_PATTERN}')) AS n_words,
+  len(regexp_extract_all(text, '{ts.BPE_PATTERN}')) AS n_bpe_tokens
+FROM documents"""
+
+    if name == "doc_quality":
+        stop = ", ".join(f"'{w}'" for w in sorted(vocab.STOPWORDS))
+        return f"""
+WITH q AS (
+  SELECT doc_id, length(text) AS n_chars,
+    regexp_extract_all(text, '{ts.WORD_PATTERN}') AS words,
+    len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+  FROM documents
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+  len(words) AS n_words,
+  CASE WHEN len(words) > 0 THEN
+    len(list_filter(words, w -> lower(w) IN ({stop})))
+      / CAST(len(words) AS DOUBLE) ELSE 0 END AS stopword_ratio,
+  CASE WHEN n_chars > 0 THEN n_alpha / CAST(n_chars AS DOUBLE)
+       ELSE 0 END AS alpha_ratio,
+  0.4 * least(1.0, len(words) / 100.0)
+    + 0.3 * (CASE WHEN len(words) > 0 THEN
+        len(list_filter(words, w -> lower(w) IN ({stop})))
+          / CAST(len(words) AS DOUBLE) ELSE 0 END)
+    + 0.3 * (CASE WHEN n_chars > 0 THEN n_alpha / CAST(n_chars AS DOUBLE)
+          ELSE 0 END) AS quality_score
+FROM q"""
+
+    if name == "doc_langid":
+        langs = sorted(ts.LANG_MARKERS)
+        score_cols = ",\n  ".join(
+            "len(list_filter(words, w -> lower(w) IN ({m}))) AS s_{lg}".format(
+                m=", ".join(f"'{x}'" for x in ts.LANG_MARKERS[lg]), lg=lg)
+            for lg in langs)
+        greatest = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+        case = "CASE " + " ".join(
+            f"WHEN s_{lg} = {greatest} THEN '{lg}'" for lg in langs) + " END"
+        return f"""
+WITH q AS (
+  SELECT doc_id, regexp_extract_all(text, '{ts.WORD_PATTERN}') AS words
+  FROM documents
+), s AS (SELECT doc_id, {score_cols} FROM q)
+SELECT doc_id, {case} AS pred_lang,
+       CAST({greatest} AS BIGINT) AS marker_hits
+FROM s"""
+
+    if name == "doc_fingerprint":
+        k = ts.SHINGLE_K
+        return f"""
+WITH n AS (
+  SELECT doc_id,
+    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+), w AS (
+  SELECT doc_id, norm, string_split(norm, ' ') AS words FROM n
+)
+SELECT doc_id, md5(norm) AS text_md5,
+  CASE WHEN len(words) >= {k} THEN
+    list_aggregate(list_transform(range(1, len(words) - {k - 2}),
+      i -> md5(array_to_string(words[i:i+{k - 1}], ' '))), 'min')
+  ELSE md5(norm) END AS min_shingle_md5
+FROM w"""
+
+    if name == "dedup_exact":
+        return ("SELECT md5(text) AS text_md5, count(*) AS n_docs, "
+                "CAST(min(doc_id) AS BIGINT) AS keep_doc_id "
+                "FROM documents GROUP BY 1")
+
+    if name == "dedup_jaccard_pairs":
+        k = dd.SHINGLE_K
+        return f"""
+WITH w AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+      AS words
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+    md5(array_to_string(words[i:i+{k - 1}], ' ')) AS s
+  FROM w, LATERAL (SELECT unnest(range(1, len(words) - {k - 2})) AS i) t
+  WHERE len(words) >= {k}
+), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    round(count(*) / CAST(min(sa.n) + min(sb.n) - count(*) AS DOUBLE), 6)
+      AS jaccard
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  JOIN sz sa ON sa.doc_id = a.doc_id
+  JOIN sz sb ON sb.doc_id = b.doc_id
+  GROUP BY 1, 2
+) WHERE jaccard >= {dd.JACCARD_THRESHOLD}"""
+
+    if name == "embed_neardup":
+        # CAST to DOUBLE[] so DuckDB computes the cosine in float64 like the
+        # numpy side (FLOAT[] would compute in float32)
+        return f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings)
+SELECT vec_a, vec_b, cosine FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_cosine_similarity(a.v, b.v), {sim.SIM_ROUND}) AS cosine
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+) WHERE cosine >= {dd.COSINE_THRESHOLD}"""
+
+    if name == "ann_topk":
+        return f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < {sim.N_QUERIES}),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])),
+               {sim.SIM_ROUND}) AS cosine
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+  FROM s
+) WHERE rank <= {sim.TOP_K}"""
+
+    if name == "multimodal_features":
+        from raykg.ops import multimodal as mm
+        return f"""
+SELECT doc_id,
+  CAST(1 + ('0x' || substr(md5(text), 1, 8))::UBIGINT % 512 AS BIGINT)
+    AS width,
+  CAST(1 + ('0x' || substr(md5(text), 9, 8))::UBIGINT % 512 AS BIGINT)
+    AS height,
+  round(('0x' || substr(md5(text), 1, 2))::UBIGINT / 255.0, 6) AS f0,
+  round(('0x' || substr(md5(text), 3, 2))::UBIGINT / 255.0, 6) AS f1
+FROM documents"""
+
     raise KeyError(name)
 
 
@@ -621,4 +1236,28 @@ QUERY_FNS = {
     "kg_mention_edges": q_kg_mention_edges,
     "kg_code_symbols": q_kg_code_symbols,
     "kg_cooccurrence": q_kg_cooccurrence,
+    "style_unit_metrics": q_style_unit_metrics,
+    "style_distribution": q_style_distribution,
+    "style_fingerprint": q_style_fingerprint,
+    "style_readability": q_style_readability,
+    "style_vocab": q_style_vocab,
+    "dialogue_spans": q_dialogue_spans,
+    "voice_profiles": q_voice_profiles,
+    "events": q_events,
+    "events_dedup": q_events_dedup,
+    "event_order": q_event_order,
+    "doc_tokens": q_doc_tokens,
+    "doc_quality": q_doc_quality,
+    "doc_langid": q_doc_langid,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,   # no SQL oracle (LSH)
+    "simhash": q_simhash,                           # no SQL oracle
+    "embed_neardup": q_embed_neardup,
+    "ann_topk": q_ann_topk,
+    "multimodal_features": q_multimodal_features,
 }
+
+# queries with no SQL-expressible oracle → driver records rows-only check
+NO_ORACLE = frozenset({"dedup_minhash_pairs", "simhash"})

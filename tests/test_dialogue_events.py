@@ -1,0 +1,97 @@
+"""Dialogue attribution tiers + event dedup/ordering tests."""
+
+import pandas as pd
+import pyarrow as pa
+
+from raykg.stages import dialogue as dlg
+from raykg.stages import events as ev
+
+
+def _spans(text):
+    t = pa.table({"unit_id": ["u1"], "doc_sha256": ["s"], "repo": ["r"],
+                  "lang": ["txt"], "text": [text]})
+    return dlg.spans_batch(t).to_pandas()
+
+
+def test_tier1_quote_then_verb_name():
+    df = _spans('"We must go," said Aldric.')
+    assert df["speaker"].iloc[0] == "Aldric"
+    assert df["speech_verb"].iloc[0] == "said"
+    assert df["attribution_tier"].iloc[0] == 1
+    assert df["attribution_conf"].iloc[0] == 0.9
+
+
+def test_tier2_name_verb_then_quote():
+    df = _spans('Aldric whispered, "We must go now."')
+    assert df["speaker"].iloc[0] == "Aldric"
+    assert df["attribution_tier"].iloc[0] == 2
+
+
+def test_tier3_verb_name_later():
+    df = _spans('"We must go." Then answered Belmor at last.')
+    assert df["speaker"].iloc[0] == "Belmor"
+    assert df["attribution_tier"].iloc[0] == 3
+    assert df["attribution_conf"].iloc[0] == 0.7
+
+
+def test_tier4_nearest_name():
+    df = _spans('"We must go." Belmor frowned.')
+    assert df["speaker"].iloc[0] == "Belmor"
+    assert df["attribution_tier"].iloc[0] == 4
+
+
+def test_unattributed_unknown():
+    df = _spans('"We must go." The night was cold.')
+    assert df["speaker"].iloc[0] == "UNKNOWN"
+    assert df["attribution_tier"].iloc[0] == 0
+
+
+def test_question_exclamation_classification():
+    df = _spans('"Who goes there?" said Aldric.')
+    assert bool(df["is_question"].iloc[0])
+    df = _spans('"Hold the gate!" cried Aldric.')
+    assert bool(df["is_exclamation"].iloc[0])
+
+
+def test_event_key_normalization():
+    # reference events.py:381-395 — "Bilbo found Ring"/"Bilbo finds the Ring"
+    k1 = ev.event_key("Bilbo", "found", "Ring")
+    k2 = ev.event_key("bilbo", "finds", "the Ring")
+    # agent lowercased; patient loses its article in both variants
+    assert k1.split("|")[2] == k2.split("|")[2] == "ring"
+    assert ev.event_key("A", "destroyed", "B") == "a|destroy|b"
+    assert ev.event_key("A", "destroys", "B") == "a|destroy|b"
+
+
+def test_dedup_events(ray_session):
+    import ray.data as rd
+    df = pd.DataFrame({
+        "unit_id": ["u2", "u1", "u3"],
+        "subj": ["Aldric", "Aldric", "Belmor"],
+        "pred": ["destroyed", "destroys", "found"],
+        "obj": ["the Sunstone", "Sunstone", "Icering"],
+        "era": ["First", "First", "Second"], "year": [10, 10, 20],
+    })
+    out = ev.dedup_events(rd.from_pandas(df)).to_pandas()
+    assert len(out) == 2
+    ald = out[out["subj"] == "Aldric"]
+    assert ald["unit_id"].iloc[0] == "u1"   # min unit_id wins
+
+
+def test_order_edges(ray_session):
+    import ray.data as rd
+    df = pd.DataFrame({
+        "unit_id": ["u1", "u2", "u3", "u4"],
+        "subj": ["A", "B", "C", "D"],
+        "pred": ["destroyed", "destroyed", "destroyed", "destroyed"],
+        "obj": ["W", "X", "Y", "Z"],
+        "era": ["First", "First", "Second", "Second"],
+        "year": [5, 10, 3, 3],
+    })
+    edges = ev.order_edges(ev.dedup_events(rd.from_pandas(df)))
+    assert len(edges) == 2   # (A,B) same era diff year; (B,C) era change;
+    #                          (C,D) same era same year -> skipped
+    confs = dict(zip(zip(edges["event1"].str[:1], edges["event2"].str[:1]),
+                     edges["confidence"]))
+    assert confs[("a", "b")] == 0.9
+    assert confs[("b", "c")] == 0.95

@@ -1,0 +1,109 @@
+"""Training-data ops tests: dedup, similarity, text stats, multimodal."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from raykg.ops import dedup as dd
+from raykg.ops import multimodal as mm
+from raykg.ops import similarity as sim
+from raykg.ops import textstats as ts
+
+
+def _doc_batch(texts):
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def test_token_counts():
+    out = ts.token_counts_batch(_doc_batch(["a b-c 12 d!"])).to_pandas()
+    assert out["n_ws_tokens"].iloc[0] == 4
+    assert out["n_words"].iloc[0] == 4        # a, b, c, d
+    assert out["n_bpe_tokens"].iloc[0] == 7   # a b - c 12 d !
+
+
+def test_quality_monotone():
+    out = ts.quality_batch(_doc_batch(
+        ["the cat and the dog were with us", "zzz qqq"])).to_pandas()
+    assert out["quality_score"].iloc[0] > out["quality_score"].iloc[1]
+    assert 0 <= out["stopword_ratio"].iloc[1] <= 1
+
+
+def test_langid_tiebreak_deterministic():
+    out = ts.langid_batch(_doc_batch(["xyzzy plugh"])).to_pandas()
+    assert out["pred_lang"].iloc[0] == "de"   # 0 hits everywhere → lexmin
+    out = ts.langid_batch(_doc_batch(["the cat and the dog"])).to_pandas()
+    assert out["pred_lang"].iloc[0] == "en"
+
+
+def test_fingerprint_normalization_invariant():
+    a = ts.fingerprint_batch(_doc_batch(["Hello   World foo bar baz qux"]))
+    b = ts.fingerprint_batch(_doc_batch(["hello world  foo bar baz qux"]))
+    assert a["text_md5"][0].as_py() == b["text_md5"][0].as_py()
+    assert a["min_shingle_md5"][0].as_py() == b["min_shingle_md5"][0].as_py()
+
+
+def test_word_shingles_and_jaccard():
+    assert dd.word_shingles("a b c", k=2) == {"a b", "b c"}
+    assert dd.jaccard_of_texts("a b c d", "a b c d") == 1.0
+    assert dd.jaccard_of_texts("a b c", "x y z") == 0.0
+
+
+def test_minhash_similarity_correlates():
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    t2 = "the quick brown fox jumps over the lazy cat again and again"
+    t3 = "completely different words appear in this unrelated sentence here"
+    s1, s2, s3 = (dd.minhash_signature(t) for t in (t1, t2, t3))
+    agree12 = sum(a == b for a, b in zip(s1, s2)) / len(s1)
+    agree13 = sum(a == b for a, b in zip(s1, s3)) / len(s1)
+    assert agree12 > agree13
+    assert agree13 < 0.2
+
+
+def test_simhash_hamming():
+    t1 = "the quick brown fox jumps over the lazy dog"
+    t2 = "the quick brown fox jumps over the lazy dog today"
+    t3 = "entirely unrelated content with other words inside"
+    h1, h2, h3 = dd.simhash64(t1), dd.simhash64(t2), dd.simhash64(t3)
+    assert dd.hamming64(h1, h2) < dd.hamming64(h1, h3)
+
+
+def test_pairs_from_bucket():
+    g = pd.DataFrame({"doc_id": [3, 1, 2, 1]})
+    out = dd.pairs_from_bucket(g)
+    assert list(zip(out["doc_a"], out["doc_b"])) == [(1, 2), (1, 3), (2, 3)]
+
+
+def test_cosine_topk_local(ray_session):
+    import ray
+    ids = np.arange(6, dtype=np.int64)
+    vecs = np.eye(6, 4) + 0.01
+    q_ref = ray.put((ids[:2], vecs[:2]))
+    topk = sim.CosineTopK(q_ref)
+    batch = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                      "embedding": pa.array([list(map(float, v))
+                                             for v in vecs],
+                                            pa.list_(pa.float32()))})
+    out = topk(batch)
+    merged = out.groupby("query_id", group_keys=False).apply(sim.final_topk)
+    # self excluded, rank 1..k, best match is itself-like vector excluded
+    assert (merged[merged["query_id"] == 0]["vec_id"] != 0).all()
+    assert list(merged[merged["query_id"] == 0]["rank"]) == list(
+        range(1, len(merged[merged["query_id"] == 0]) + 1))
+
+
+def test_fake_decoder_deterministic():
+    dec = mm.FakeDecoder()
+    t = mm.to_binary_batch(_doc_batch(["hello world"]))
+    out1 = dec(t).to_pandas()
+    out2 = dec(t).to_pandas()
+    assert out1.equals(out2)
+    assert 1 <= out1["width"].iloc[0] <= 512
+    assert len(out1["features"].iloc[0]) == mm.FEATURE_DIM
+
+
+def test_resize_stub():
+    assert mm.resize_stub(512, 256, target=128) == (256, 128)
+    import pytest
+    with pytest.raises(NotImplementedError):
+        mm.resize_stub(0, 10)
