@@ -2,10 +2,9 @@
 
 Ray-Data-first composition (SURVEY.md §7.0, reference EP1 ``cli.py:1188-1386``):
 
-    read_parquet(corpus)
+    read_parquet(corpus, override_num_blocks≈2×CPUs)
       → map_batches(split)                 # stage "units"   (wide explode)
-      → map_batches(UnitExtractor actors)  # stage "extract" (prose)
-        + map_batches(CodeExtractor)       #                 (code)
+      → map_batches(unit/code extractors)  # stage "extract"
       → broadcast alias resolve (J1)       # stage "mentions"
       → union-find over alias edges        # canonicalize (C4)
       → groupby(entity) nodes              # stage "nodes"   (S6 analog)
@@ -13,11 +12,24 @@ Ray-Data-first composition (SURVEY.md §7.0, reference EP1 ``cli.py:1188-1386``)
       → sort(subj) → write_parquet
 
 Every stage streams blocks and checkpoints its output parquet atomically
-with a lineage manifest (resume = skip completed stages).  Broadcast sides
-(alias index, union-find rep map, node-type map) are vocabulary-sized —
-``ray.put`` once, read in actor ``__init__``; at 10^12-file scale the
-node-type map would become a bucketed hash join instead (documented
-partitioning assumption).
+with a lineage manifest (resume = skip completed stages).
+
+Performance notes (measured via the lineage wall clocks):
+
+* Extractors run as STATELESS TASK functions with worker-process singletons
+  (regexes compile once per worker) — actor pools added seconds of startup
+  per stage at this state size.  Heavyweight per-language models would flip
+  back to ``map_batches(Cls, concurrency=...)`` (the extractor classes are
+  kept callable for exactly that).
+* Broadcast sides (alias index, union-find rep map, node-type map) are
+  ``ray.put`` once and memoized per worker (``functions.broadcast``); at
+  10^12-file scale the node-type map becomes a bucketed hash join instead.
+* Pure-sum aggregations use ``groupby().aggregate(Sum)`` (vectorized hash
+  aggregate), not per-group ``map_groups``.
+* The distinct alias-edge set is vocabulary-sized (pairs of surface forms,
+  not corpus-sized) → collected to the driver for union-find; the fully
+  distributed min-label propagation lives in ``stages.components`` for
+  edge sets that cannot be collected (used by near-dup clustering).
 """
 
 from __future__ import annotations
@@ -30,12 +42,36 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from raykg.functions.broadcast import get_cached
 from raykg.sources import synthetic_corpus as sc
 from raykg.stages import components, extract, link, split
 from raykg.state import lineage
 
 TYPE_PRIORITY = ("character", "place", "object", "module", "function",
                  "unknown")
+
+_WORKER_STATE: dict[str, object] = {}
+
+
+def _singleton(key: str, factory):
+    if key not in _WORKER_STATE:
+        _WORKER_STATE[key] = factory()
+    return _WORKER_STATE[key]
+
+
+def extract_units_fn(batch: pa.Table) -> pa.Table:
+    return _singleton("unit_extractor", extract.UnitExtractor)(batch)
+
+
+def extract_code_fn(batch: pa.Table) -> pa.Table:
+    return _singleton("code_extractor", extract.CodeExtractor)(batch)
+
+
+def _ncpu() -> int:
+    try:
+        return max(2, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        return 8
 
 
 def _read_many(paths: list[str]) -> rd.Dataset:
@@ -102,22 +138,27 @@ def default_out_root(sf_dir: str) -> str:
 
 
 def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
-             extract_concurrency=(1, 8), batch_size: int = 1024) -> dict:
+             extract_concurrency=None, batch_size: int = 1024) -> dict:
     """Run the full pipeline for one sf dir; returns dict of output paths.
 
     Idempotent/resumable: completed stages (lineage manifest present) are
-    skipped unless ``force``.
+    skipped unless ``force``.  ``extract_concurrency``: pass an int/tuple to
+    run extractors as an actor pool (heavy-model path); default None runs
+    them as stateless tasks.
     """
     data_dir = sc.generate(sf_dir)
     corpus_path = os.path.join(data_dir, "corpus.parquet")
     alias_path = os.path.join(data_dir, "alias_table.parquet")
     out_root = out_root or default_out_root(sf_dir)
     os.makedirs(out_root, exist_ok=True)
+    n_blocks = _ncpu() * 2
+
+    def read_corpus():
+        return rd.read_parquet(corpus_path, override_num_blocks=n_blocks)
 
     # ---- stage: units (corpus → unit explode) ----
     def write_units(tmp: str):
-        ds = rd.read_parquet(corpus_path)
-        split.units_dataset(ds).write_parquet(tmp)
+        split.units_dataset(read_corpus()).write_parquet(tmp)
 
     units_dir = lineage.run_stage(out_root, "units", write_units, force)
 
@@ -126,14 +167,21 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
         units = rd.read_parquet(
             units_dir,
             columns=["unit_id", "doc_sha256", "repo", "path", "lang", "text"])
-        prose = units.map_batches(
-            extract.UnitExtractor, batch_format="pyarrow",
-            batch_size=batch_size, zero_copy_batch=True,
-            concurrency=extract_concurrency)
+        if extract_concurrency is not None:
+            prose = units.map_batches(
+                extract.UnitExtractor, batch_format="pyarrow",
+                batch_size=batch_size, zero_copy_batch=True,
+                concurrency=extract_concurrency)
+            code = read_corpus().map_batches(
+                extract.CodeExtractor, batch_format="pyarrow",
+                batch_size=64, concurrency=extract_concurrency)
+        else:
+            prose = units.map_batches(
+                extract_units_fn, batch_format="pyarrow",
+                batch_size=batch_size, zero_copy_batch=True)
+            code = read_corpus().map_batches(
+                extract_code_fn, batch_format="pyarrow", batch_size=64)
         prose.write_parquet(os.path.join(tmp, "prose"))
-        code = rd.read_parquet(corpus_path).map_batches(
-            extract.CodeExtractor, batch_format="pyarrow", batch_size=64,
-            concurrency=extract_concurrency)
         code.write_parquet(os.path.join(tmp, "code"))
 
     extract_dir = lineage.run_stage(out_root, "extract", write_extract, force)
@@ -141,57 +189,50 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
                  os.path.join(extract_dir, "code")]
 
     # ---- canonicalize: alias-pair edges → union-find rep map (C4) ----
+    # The distinct alias-pair vocabulary is bounded by the surface
+    # vocabulary (not the corpus), so collect + driver union-find; duplicate
+    # pairs are harmless to union_find, so no pre-dedup shuffle.
     alias_index = link.load_alias_index(alias_path)
     known_ids = {v[0] for v in alias_index.values()}
 
     def pairs_to_edges(t: pa.Table) -> pa.Table:
-        a = t["subj"].to_pylist()
-        b = t["obj"].to_pylist()
         us, vs = [], []
-        for x, y in zip(a, b):
-            us.append(link.resolve_key(
-                link.norm_key(x), alias_index)[0])
-            vs.append(link.resolve_key(
-                link.norm_key(y), alias_index)[0])
+        for x, y in zip(t["subj"].to_pylist(), t["obj"].to_pylist()):
+            us.append(link.resolve_key(link.norm_key(x), alias_index)[0])
+            vs.append(link.resolve_key(link.norm_key(y), alias_index)[0])
         return pa.table({"u": pa.array(us, pa.string()),
                          "v": pa.array(vs, pa.string())})
 
-    edges = (_read_many(ext_paths)
-             .map_batches(_kind_filter(extract.KIND_ALIAS),
-                          batch_format="pyarrow")
-             .map_batches(pairs_to_edges, batch_format="pyarrow"))
-    rep = components.components_driver(edges)
-    # prefer seed-known ids as representatives
-    rep = {k: v for k, v in components.union_find(
-        list(rep.items()),
-        key=lambda x: (0 if x in known_ids else 1, x)).items() if k != v}
+    edge_rows = (_read_many(ext_paths)
+                 .map_batches(_kind_filter(extract.KIND_ALIAS),
+                              batch_format="pyarrow")
+                 .map_batches(pairs_to_edges, batch_format="pyarrow")
+                 .take_all())
+    rep = components.union_find(
+        [(r["u"], r["v"]) for r in edge_rows],
+        key=lambda x: (0 if x in known_ids else 1, x))
 
     alias_ref = ray.put(alias_index)
     rep_ref = ray.put(rep)
 
     # ---- stage: mentions (resolved, final canonical ids) ----
-    class _Resolver(link.ResolveMentions):
-        def __init__(self):
-            super().__init__(alias_ref)
-            self.rep = ray.get(rep_ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            out = super().__call__(batch)
-            out["entity_id"] = [self.rep.get(e, e) for e in out["entity_id"]]
-            return out
+    def resolve_mentions_fn(batch: pd.DataFrame) -> pd.DataFrame:
+        resolver = link.ResolveMentions(get_cached(alias_ref))
+        rep_map = get_cached(rep_ref)
+        out = resolver(batch)
+        out["entity_id"] = [rep_map.get(e, e) for e in out["entity_id"]]
+        return out[["unit_id", "doc_sha256", "repo", "path", "lang", "subj",
+                    "label", "confidence", "start_char", "end_char",
+                    "n_occurrences", "entity_id", "entity_type",
+                    "link_confidence", "is_new", "resolved_name"]].rename(
+            columns={"subj": "mention_text"})
 
     def write_mentions(tmp: str):
         (_read_many(ext_paths)
          .map_batches(_kind_filter(extract.KIND_MENTION),
                       batch_format="pyarrow")
-         .map_batches(_Resolver, batch_format="pandas",
-                      batch_size=batch_size, concurrency=extract_concurrency)
-         .map_batches(lambda df: df[[
-             "unit_id", "doc_sha256", "repo", "path", "lang", "subj",
-             "label", "confidence", "start_char", "end_char",
-             "n_occurrences", "entity_id", "entity_type",
-             "link_confidence", "is_new", "resolved_name"]].rename(
-                 columns={"subj": "mention_text"}), batch_format="pandas")
+         .map_batches(resolve_mentions_fn, batch_format="pandas",
+                      batch_size=4096)
          .write_parquet(tmp))
 
     mentions_dir = lineage.run_stage(out_root, "mentions", write_mentions,
@@ -199,55 +240,54 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
 
     # ---- stage: nodes (entity aggregation, S6/A2 analog) ----
     def write_nodes(tmp: str):
-        (rd.read_parquet(mentions_dir)
+        (rd.read_parquet(mentions_dir,
+                         columns=["entity_id", "unit_id", "mention_text",
+                                  "n_occurrences", "entity_type", "is_new",
+                                  "resolved_name"])
          .groupby("entity_id").map_groups(node_of, batch_format="pandas")
          .write_parquet(tmp))
 
     nodes_dir = lineage.run_stage(out_root, "nodes", write_nodes, force)
 
-    # node-type map for triple typing (vocabulary-sized → broadcast)
-    nodes_tbl = rd.read_parquet(nodes_dir).to_pandas()
-    type_map = dict(zip(nodes_tbl["entity_id"], nodes_tbl["entity_type"]))
-    type_ref = ray.put(type_map)
+    # node-type map for triple typing (vocabulary-sized → broadcast; at
+    # 10^12-file scale this becomes a bucketed hash join)
+    nodes_tbl = rd.read_parquet(
+        nodes_dir, columns=["entity_id", "entity_type"]).to_pandas()
+    type_ref = ray.put(dict(zip(nodes_tbl["entity_id"],
+                                nodes_tbl["entity_type"])))
 
     # ---- stage: triples (A1 merge: partial per-batch → groupby final) ----
-    class _TripleResolver:
-        """Resolve rel endpoints to final canonical ids + partial pre-agg."""
+    def resolve_triples_fn(batch: pd.DataFrame) -> pd.DataFrame:
+        aidx = get_cached(alias_ref)
+        rep_map = get_cached(rep_ref)
+        types = get_cached(type_ref)
 
-        def __init__(self):
-            self.alias_index = ray.get(alias_ref)
-            self.rep = ray.get(rep_ref)
-            self.types = ray.get(type_ref)
-
-        def _rid(self, text: str, method: str) -> str:
+        def rid(text: str, method: str) -> str:
             if method == "code":
                 return text
-            eid = link.resolve_key(link.norm_key(text), self.alias_index)[0]
-            return self.rep.get(eid, eid)
+            eid = link.resolve_key(link.norm_key(text), aidx)[0]
+            return rep_map.get(eid, eid)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            batch = batch.copy()
-            batch["subj_id"] = [self._rid(t, m) for t, m in
-                                zip(batch["subj"], batch["method"])]
-            batch["obj_id"] = [self._rid(t, m) for t, m in
-                               zip(batch["obj"], batch["method"])]
-            # partial aggregation inside the batch (combiner before shuffle)
-            agg = (batch.groupby(["subj_id", "pred", "obj_id"])
-                   .agg(cnt=("unit_id", "size"),
-                        confidence=("confidence", "max"),
-                        units=("unit_id", lambda s: sorted(set(s))))
-                   .reset_index())
-            agg["subj_type"] = [self.types.get(s, "unknown")
-                                for s in agg["subj_id"]]
-            agg["obj_type"] = [self.types.get(o, "unknown")
-                               for o in agg["obj_id"]]
-            return agg
+        batch = batch.copy()
+        batch["subj_id"] = [rid(t, m) for t, m in
+                            zip(batch["subj"], batch["method"])]
+        batch["obj_id"] = [rid(t, m) for t, m in
+                           zip(batch["obj"], batch["method"])]
+        # partial aggregation inside the batch (combiner before shuffle)
+        agg = (batch.groupby(["subj_id", "pred", "obj_id"])
+               .agg(cnt=("unit_id", "size"),
+                    confidence=("confidence", "max"),
+                    units=("unit_id", lambda s: sorted(set(s))))
+               .reset_index())
+        agg["subj_type"] = [types.get(s, "unknown") for s in agg["subj_id"]]
+        agg["obj_type"] = [types.get(o, "unknown") for o in agg["obj_id"]]
+        return agg
 
     def write_triples(tmp: str):
         (_read_many(ext_paths)
          .map_batches(_kind_filter(extract.KIND_REL), batch_format="pyarrow")
-         .map_batches(_TripleResolver, batch_format="pandas",
-                      batch_size=4096, concurrency=extract_concurrency)
+         .map_batches(resolve_triples_fn, batch_format="pandas",
+                      batch_size=8192)
          .groupby(["subj_id", "pred", "obj_id"])
          .map_groups(merge_triples, batch_format="pandas")
          .sort(["subj", "pred", "obj"])
@@ -255,16 +295,13 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
 
     triples_dir = lineage.run_stage(out_root, "triples", write_triples, force)
 
-    # ---- stage: mention_edges (entity↔unit, S9 analog) ----
+    # ---- stage: mention_edges (entity↔unit, S9 analog) — vectorized sum ----
     def write_mention_edges(tmp: str):
+        from ray.data.aggregate import Sum
         (rd.read_parquet(mentions_dir,
                          columns=["entity_id", "unit_id", "n_occurrences"])
          .groupby(["entity_id", "unit_id"])
-         .map_groups(lambda g: pd.DataFrame({
-             "entity_id": [g["entity_id"].iloc[0]],
-             "unit_id": [g["unit_id"].iloc[0]],
-             "mention_count": [int(g["n_occurrences"].sum())]}),
-             batch_format="pandas")
+         .aggregate(Sum("n_occurrences", alias_name="mention_count"))
          .write_parquet(tmp))
 
     mention_edges_dir = lineage.run_stage(out_root, "mention_edges",

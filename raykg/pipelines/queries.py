@@ -101,7 +101,8 @@ def q_kg_triples(sf_dir: str):
 
 
 def q_kg_mention_edges(sf_dir: str):
-    # S9: entity↔unit mention counts (prose side)
+    # S9: entity↔unit mention counts (prose side) — vectorized hash agg
+    from ray.data.aggregate import Sum
     p = kg_paths(sf_dir)
     ds = rd.read_parquet(p["mentions"], columns=[
         "entity_id", "unit_id", "lang", "n_occurrences"])
@@ -109,11 +110,7 @@ def q_kg_mention_edges(sf_dir: str):
         lambda t: t.filter(pc.equal(t["lang"], "txt")),
         batch_format="pyarrow")
         .groupby(["entity_id", "unit_id"])
-        .map_groups(lambda g: pd.DataFrame({
-            "entity_id": [g["entity_id"].iloc[0]],
-            "unit_id": [g["unit_id"].iloc[0]],
-            "mention_count": [int(g["n_occurrences"].sum())]}),
-            batch_format="pandas"))
+        .aggregate(Sum("n_occurrences", alias_name="mention_count")))
 
 
 def q_kg_code_symbols(sf_dir: str):
@@ -134,34 +131,37 @@ def q_kg_code_symbols(sf_dir: str):
 
 
 def q_kg_cooccurrence(sf_dir: str):
-    """A18/C1: per-unit entity-pair co-occurrence counts (pair explode →
-    groupby), pairs ordered (a < b), count ≥ 2 filter."""
+    """A18/C1: per-unit entity-pair co-occurrence counts.
+
+    Vectorized: distinct (unit, entity) via hash agg → hash self-join on
+    unit_id → (a < b) filter → pair Count.  (A per-batch pair explode would
+    drop pairs whenever a block boundary splits a unit's rows.)
+    """
+    from ray.data.aggregate import Count
     p = kg_paths(sf_dir)
     ds = rd.read_parquet(p["mentions"],
                          columns=["unit_id", "lang", "entity_id"])
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["entity_id"]))
-        rows_a, rows_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                rows_a.append(ids[i])
-                rows_b.append(ids[j])
-        return pd.DataFrame({"entity_a": rows_a, "entity_b": rows_b})
-
-    # groupby(unit) co-locates a unit's mention rows before the pair
-    # explode — a block boundary may otherwise split a unit across batches
-    # and silently drop cross-boundary pairs.
-    return (ds.map_batches(
-                lambda t: t.filter(pc.equal(t["lang"], "txt")),
-                batch_format="pyarrow")
-            .groupby("unit_id").map_groups(pairs, batch_format="pandas")
-            .groupby(["entity_a", "entity_b"])
-            .map_groups(lambda g: pd.DataFrame({
-                "entity_a": [g["entity_a"].iloc[0]],
-                "entity_b": [g["entity_b"].iloc[0]],
-                "pair_count": [len(g)]}), batch_format="pandas")
-            .filter(lambda r: r["pair_count"] >= 2))
+    distinct = (ds.map_batches(
+        lambda t: t.filter(pc.equal(t["lang"], "txt"))
+                   .select(["unit_id", "entity_id"]),
+        batch_format="pyarrow")
+        .groupby(["unit_id", "entity_id"])
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(lambda df: df[["unit_id", "entity_id"]],
+                     batch_format="pandas"))
+    right = distinct.map_batches(
+        lambda df: df.rename(columns={"entity_id": "entity_b"}),
+        batch_format="pandas")
+    joined = distinct.join(right, join_type="inner", num_partitions=16,
+                           on=("unit_id",))
+    return (joined.map_batches(
+        lambda df: df[df["entity_id"] < df["entity_b"]].rename(
+            columns={"entity_id": "entity_a"})[["entity_a", "entity_b"]],
+        batch_format="pandas")
+        .groupby(["entity_a", "entity_b"])
+        .aggregate(Count(alias_name="pair_count"))
+        .map_batches(lambda df: df[df["pair_count"] >= 2],
+                     batch_format="pandas"))
 
 
 # ------------------------------------------------------ style branch queries
@@ -334,52 +334,71 @@ def _texts_ref(sf_dir: str):
                             tbl["text"].to_pylist())))
 
 
-def _make_jaccard_verifier(texts_ref):
-    # plain function (map_groups rejects callable classes without an actor
-    # pool); ray.get on a worker hits the local object-store cache after the
-    # first fetch, so the broadcast is still fetched once per worker
-    import ray
-    from raykg.ops import dedup as dd
-
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        texts = ray.get(texts_ref)
-        a = int(g["doc_a"].iloc[0])
-        b = int(g["doc_b"].iloc[0])
-        j = round(dd.jaccard_of_texts(texts[a], texts[b]), 6)
-        if j < dd.JACCARD_THRESHOLD:
-            return pd.DataFrame({
-                "doc_a": pd.Series([], dtype="int64"),
-                "doc_b": pd.Series([], dtype="int64"),
-                "jaccard": pd.Series([], dtype="float64")})
-        return pd.DataFrame({"doc_a": [a], "doc_b": [b], "jaccard": [j]})
-
-    return verify
-
-
 def q_dedup_jaccard_pairs(sf_dir: str):
-    """n-gram Jaccard near-dup: shingle explode → bucket groupby →
-    candidate pairs → exact-Jaccard verify (broadcast doc texts)."""
+    """n-gram Jaccard near-dup, fully vectorized set-similarity:
+    shingle explode (per-doc distinct by construction) → hash self-join on
+    shingle → pair Count = |A∩B| → J = i/(|A|+|B|-i) with broadcast set
+    sizes → threshold.  Exactly all pairs with J ≥ t (J>0 ⇒ shared
+    shingle).  Hot shingles multiply join output quadratically — salt or
+    drop top-frequency shingles at real scale (they only generate pairs
+    that other shingles also generate)."""
+    import ray
+    from ray.data.aggregate import Count
     from raykg.ops import dedup as dd
-    Verify = _make_jaccard_verifier(_texts_ref(sf_dir))
-    return (_docs_ds(sf_dir)
-            .map_batches(dd.shingle_explode_batch, batch_format="pyarrow")
-            .groupby("shingle")
-            .map_groups(dd.pairs_from_bucket, batch_format="pandas")
-            .groupby(["doc_a", "doc_b"])
-            .map_groups(Verify, batch_format="pandas"))
+
+    sh = _docs_ds(sf_dir).map_batches(dd.shingle_explode_batch,
+                                      batch_format="pyarrow")
+    sizes = sh.groupby("doc_id").aggregate(Count(alias_name="n")).to_pandas()
+    sizes_ref = ray.put(dict(zip(sizes["doc_id"], sizes["n"])))
+
+    right = sh.map_batches(lambda df: df.rename(columns={"doc_id": "doc_b"}),
+                           batch_format="pandas")
+    joined = sh.join(right, join_type="inner", num_partitions=16,
+                     on=("shingle",))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        from raykg.functions.broadcast import get_cached
+        sz = get_cached(sizes_ref)
+        na = df["doc_a"].map(sz)
+        nb = df["doc_b"].map(sz)
+        j = (df["inter"] / (na + nb - df["inter"])).round(6)
+        out = df.assign(jaccard=j)[["doc_a", "doc_b", "jaccard"]]
+        return out[out["jaccard"] >= dd.JACCARD_THRESHOLD]
+
+    return (joined.map_batches(
+        lambda df: df[df["doc_id"] < df["doc_b"]].rename(
+            columns={"doc_id": "doc_a"})[["doc_a", "doc_b"]],
+        batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="inter"))
+        .map_batches(score, batch_format="pandas"))
 
 
 def q_dedup_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup (scale path; no SQL oracle — rows-only check).
-    Bands → bucket groupby → candidates → exact-Jaccard verify."""
+    Bands → bucket groupby → candidate pairs → dedupe → batched
+    exact-Jaccard verify against broadcast texts."""
+    from ray.data.aggregate import Count
+    from raykg.functions.broadcast import get_cached
     from raykg.ops import dedup as dd
-    Verify = _make_jaccard_verifier(_texts_ref(sf_dir))
+    texts_ref = _texts_ref(sf_dir)
+
+    def verify_rows(df: pd.DataFrame) -> pd.DataFrame:
+        texts = get_cached(texts_ref)
+        j = [round(dd.jaccard_of_texts(texts[a], texts[b]), 6)
+             for a, b in zip(df["doc_a"], df["doc_b"])]
+        out = df.assign(jaccard=pd.Series(j, index=df.index,
+                                          dtype="float64"))
+        out = out[out["jaccard"] >= dd.JACCARD_THRESHOLD]
+        return out[["doc_a", "doc_b", "jaccard"]]
+
     return (_docs_ds(sf_dir)
             .map_batches(dd.minhash_bands_batch, batch_format="pyarrow")
             .groupby(["band_id", "band_hash"])
             .map_groups(dd.pairs_from_bucket, batch_format="pandas")
             .groupby(["doc_a", "doc_b"])
-            .map_groups(Verify, batch_format="pandas"))
+            .aggregate(Count(alias_name="_c"))
+            .map_batches(verify_rows, batch_format="pandas"))
 
 
 def q_simhash(sf_dir: str):

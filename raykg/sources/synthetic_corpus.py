@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 from raykg import vocab
 from raykg.functions.textnorm import sha256_hex, slugify
 
-GEN_VERSION = 4
+GEN_VERSION = 5
 CACHE_ROOT = "/tmp/raykg_data"
 
 # ---------------------------------------------------------------- name pools
@@ -372,7 +372,10 @@ def generate(sf_dir: str, force: bool = False) -> str:
         "lang": pa.array(langs, pa.string()),
         "content": pa.array(contents, pa.string()),
     })
-    pq.write_table(corpus, os.path.join(out, "corpus.parquet"))
+    # small row groups → Ray Data can split the single file into many
+    # blocks (override_num_blocks) so the split stage parallelizes
+    pq.write_table(corpus, os.path.join(out, "corpus.parquet"),
+                   row_group_size=32)
 
     ar = pools["alias_rows"]
     alias_tbl = pa.table({
