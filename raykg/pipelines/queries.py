@@ -101,16 +101,15 @@ def q_kg_triples(sf_dir: str):
 
 
 def q_kg_mention_edges(sf_dir: str):
-    # S9: entity↔unit mention counts (prose side) — vectorized hash agg
-    from ray.data.aggregate import Sum
+    # S9: entity↔unit mention counts (prose side) — bucketed two-phase sum
+    from raykg.functions import hashagg
     p = kg_paths(sf_dir)
     ds = rd.read_parquet(p["mentions"], columns=[
         "entity_id", "unit_id", "lang", "n_occurrences"])
-    return (ds.map_batches(
-        lambda t: t.filter(pc.equal(t["lang"], "txt")),
-        batch_format="pyarrow")
-        .groupby(["entity_id", "unit_id"])
-        .aggregate(Sum("n_occurrences", alias_name="mention_count")))
+    return hashagg.sum_col(
+        ds.map_batches(lambda t: t.filter(pc.equal(t["lang"], "txt")),
+                       batch_format="pyarrow"),
+        ["entity_id", "unit_id"], "n_occurrences", name="mention_count")
 
 
 def q_kg_code_symbols(sf_dir: str):
@@ -118,16 +117,17 @@ def q_kg_code_symbols(sf_dir: str):
     p = kg_paths(sf_dir)
     ds = rd.read_parquet(p["mentions"], columns=[
         "entity_id", "label", "lang", "path"])
-    return (ds.map_batches(
-        lambda t: t.filter(pc.equal(t["lang"], "py")),
-        batch_format="pyarrow")
-        .groupby(["entity_id", "label"])
-        .map_groups(lambda g: pd.DataFrame({
-            "entity_id": [g["entity_id"].iloc[0]],
-            "label": [g["label"].iloc[0]],
-            "n_mentions": [len(g)],
-            "n_files": [g["path"].nunique()]}),
-            batch_format="pandas"))
+    from raykg.functions import hashagg
+
+    def per_symbol(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(["entity_id", "label"], sort=False)
+                .agg(n_mentions=("path", "size"), n_files=("path", "nunique"))
+                .reset_index())
+
+    return hashagg.grouped_apply(
+        ds.map_batches(lambda t: t.filter(pc.equal(t["lang"], "py")),
+                       batch_format="pyarrow"),
+        ["entity_id", "label"], per_symbol)
 
 
 def q_kg_cooccurrence(sf_dir: str):
@@ -137,31 +137,29 @@ def q_kg_cooccurrence(sf_dir: str):
     unit_id → (a < b) filter → pair Count.  (A per-batch pair explode would
     drop pairs whenever a block boundary splits a unit's rows.)
     """
-    from ray.data.aggregate import Count
+    from raykg.functions import hashagg
     p = kg_paths(sf_dir)
     ds = rd.read_parquet(p["mentions"],
                          columns=["unit_id", "lang", "entity_id"])
-    distinct = (ds.map_batches(
-        lambda t: t.filter(pc.equal(t["lang"], "txt"))
-                   .select(["unit_id", "entity_id"]),
-        batch_format="pyarrow")
-        .groupby(["unit_id", "entity_id"])
-        .aggregate(Count(alias_name="_c"))
-        .map_batches(lambda df: df[["unit_id", "entity_id"]],
-                     batch_format="pandas"))
+    distinct = hashagg.distinct(
+        ds.map_batches(
+            lambda t: t.filter(pc.equal(t["lang"], "txt"))
+                       .select(["unit_id", "entity_id"]),
+            batch_format="pyarrow"),
+        ["unit_id", "entity_id"])
     right = distinct.map_batches(
         lambda df: df.rename(columns={"entity_id": "entity_b"}),
         batch_format="pandas")
     joined = distinct.join(right, join_type="inner", num_partitions=16,
                            on=("unit_id",))
-    return (joined.map_batches(
+    pairs = joined.map_batches(
         lambda df: df[df["entity_id"] < df["entity_b"]].rename(
             columns={"entity_id": "entity_a"})[["entity_a", "entity_b"]],
         batch_format="pandas")
-        .groupby(["entity_a", "entity_b"])
-        .aggregate(Count(alias_name="pair_count"))
-        .map_batches(lambda df: df[df["pair_count"] >= 2],
-                     batch_format="pandas"))
+    return (hashagg.count_rows(pairs, ["entity_a", "entity_b"],
+                               name="pair_count")
+            .map_batches(lambda df: df[df["pair_count"] >= 2],
+                         batch_format="pandas"))
 
 
 # ------------------------------------------------------ style branch queries
@@ -204,13 +202,12 @@ def q_style_vocab(sf_dir: str):
     from raykg.stages import fingerprint as fp
     p = kg_paths(sf_dir)
     ds = rd.read_parquet(p["units"], columns=["repo", "lang", "text"])
-    return (ds.map_batches(fp.word_counts_batch, batch_format="pyarrow",
-                           batch_size=2048)
-            .groupby(["repo", "word"])
-            .map_groups(lambda g: pd.DataFrame({
-                "repo": [g["repo"].iloc[0]], "word": [g["word"].iloc[0]],
-                "cnt": [int(g["cnt"].sum())]}), batch_format="pandas")
-            .groupby("repo")
+    from raykg.functions import hashagg
+    word_counts = hashagg.sum_col(
+        ds.map_batches(fp.word_counts_batch, batch_format="pyarrow",
+                       batch_size=2048),
+        ["repo", "word"], "cnt")
+    return (word_counts.groupby("repo")
             .map_groups(fp.vocab_profile_group, batch_format="pandas"))
 
 
@@ -313,15 +310,24 @@ def q_doc_fingerprint(sf_dir: str):
 
 
 def q_dedup_exact(sf_dir: str):
+    from raykg.functions import hashagg
     from raykg.ops import dedup as dd
-    return (_docs_ds(sf_dir)
-            .map_batches(dd.exact_dedup_batch, batch_format="pyarrow")
-            .groupby("text_md5")
-            .map_groups(lambda g: pd.DataFrame({
-                "text_md5": [g["text_md5"].iloc[0]],
-                "n_docs": [len(g)],
-                "keep_doc_id": [int(g["doc_id"].min())]}),
-                batch_format="pandas"))
+
+    def per_hash(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("text_md5", sort=False)
+                .agg(n_docs=("n_docs", "sum"), keep_doc_id=("keep_doc_id",
+                                                            "min"))
+                .reset_index())
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("text_md5", sort=False)
+                .agg(n_docs=("doc_id", "size"), keep_doc_id=("doc_id", "min"))
+                .reset_index())
+
+    return hashagg.grouped_apply(
+        _docs_ds(sf_dir).map_batches(dd.exact_dedup_batch,
+                                     batch_format="pyarrow"),
+        ["text_md5"], per_hash, partial)
 
 
 def _texts_ref(sf_dir: str):
@@ -335,50 +341,74 @@ def _texts_ref(sf_dir: str):
 
 
 def q_dedup_jaccard_pairs(sf_dir: str):
-    """n-gram Jaccard near-dup, fully vectorized set-similarity:
-    shingle explode (per-doc distinct by construction) → hash self-join on
-    shingle → pair Count = |A∩B| → J = i/(|A|+|B|-i) with broadcast set
-    sizes → threshold.  Exactly all pairs with J ≥ t (J>0 ⇒ shared
-    shingle).  Hot shingles multiply join output quadratically — salt or
-    drop top-frequency shingles at real scale (they only generate pairs
-    that other shingles also generate)."""
-    import ray
-    from ray.data.aggregate import Count
+    """n-gram Jaccard near-dup via a prefix-filtering set-similarity join
+    (SSJoin/PPJoin prefix principle — lossless for J ≥ t):
+
+    shingle explode → global shingle document-frequency (hash agg) →
+    per-doc keep only the ``n − ⌈t·n⌉ + 1`` globally-RAREST shingles →
+    self-join on those prefix shingles → size-compatibility filter
+    (max(na,nb)·t ≤ min(na,nb)) → distinct candidate pairs → exact Jaccard
+    verify by joining texts back.
+
+    A naive shingle self-join is quadratic in each shingle's document
+    frequency ("of the" appears in ~every doc → |D|² rows); the prefix
+    filter sorts hot shingles out of the join keys entirely while provably
+    keeping every pair that can reach the threshold."""
+    from raykg.functions import hashagg
     from raykg.ops import dedup as dd
 
-    sh = _docs_ds(sf_dir).map_batches(dd.shingle_explode_batch,
-                                      batch_format="pyarrow")
-    sizes = sh.groupby("doc_id").aggregate(Count(alias_name="n")).to_pandas()
-    sizes_ref = ray.put(dict(zip(sizes["doc_id"], sizes["n"])))
+    docs = _docs_ds(sf_dir)
+    sh = docs.map_batches(dd.shingle_explode64_batch, batch_format="pyarrow")
 
-    right = sh.map_batches(lambda df: df.rename(columns={"doc_id": "doc_b"}),
-                           batch_format="pandas")
-    joined = sh.join(right, join_type="inner", num_partitions=16,
-                     on=("shingle",))
+    # global doc-frequency per shingle (sh is distinct per doc) → join back
+    # (a join, not a broadcast: the shingle vocabulary grows with the corpus)
+    df_tbl = hashagg.count_rows(sh, ["shingle"], name="df")
+    # materialize: consumed by BOTH sides of the self-join (without this the
+    # whole explode→df→prefix chain recomputes twice); size ≈ 40% of the
+    # shingle table — object-store-resident build side, spills if needed
+    prefixes = hashagg.grouped_apply(
+        sh.select_columns(["doc_id", "shingle", "n"])
+        .join(df_tbl, join_type="inner", num_partitions=16, on=("shingle",)),
+        ["doc_id"], dd.prefix_rows_group).materialize()
 
-    def score(df: pd.DataFrame) -> pd.DataFrame:
-        from raykg.functions.broadcast import get_cached
-        sz = get_cached(sizes_ref)
-        na = df["doc_a"].map(sz)
-        nb = df["doc_b"].map(sz)
-        j = (df["inter"] / (na + nb - df["inter"])).round(6)
+    right = prefixes.map_batches(
+        lambda df: df.rename(columns={"doc_id": "doc_b", "n": "nb"}),
+        batch_format="pandas")
+    cand = (prefixes.join(right, join_type="inner", num_partitions=16,
+                          on=("shingle",))
+            .map_batches(
+                lambda df: df[(df["doc_id"] < df["doc_b"])
+                              & (df[["n", "nb"]].max(axis=1)
+                                 * dd.JACCARD_THRESHOLD
+                                 <= df[["n", "nb"]].min(axis=1))]
+                .rename(columns={"doc_id": "doc_a"})[["doc_a", "doc_b"]],
+                batch_format="pandas"))
+    cand = hashagg.distinct(cand, ["doc_a", "doc_b"])
+
+    # verify: join texts back (candidates ≪ corpus) → exact Jaccard
+    ta = docs.map_batches(lambda df: df.rename(
+        columns={"doc_id": "doc_a", "text": "text_a"}), batch_format="pandas")
+    tb = docs.map_batches(lambda df: df.rename(
+        columns={"doc_id": "doc_b", "text": "text_b"}), batch_format="pandas")
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        j = [round(dd.jaccard_of_texts(a, b), 6)
+             for a, b in zip(df["text_a"], df["text_b"])]
         out = df.assign(jaccard=j)[["doc_a", "doc_b", "jaccard"]]
         return out[out["jaccard"] >= dd.JACCARD_THRESHOLD]
 
-    return (joined.map_batches(
-        lambda df: df[df["doc_id"] < df["doc_b"]].rename(
-            columns={"doc_id": "doc_a"})[["doc_a", "doc_b"]],
-        batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="inter"))
-        .map_batches(score, batch_format="pandas"))
+    return (cand.join(ta, join_type="inner", num_partitions=8,
+                      on=("doc_a",))
+            .join(tb, join_type="inner", num_partitions=8, on=("doc_b",))
+            .map_batches(verify, batch_format="pandas")
+            .select_columns(["doc_a", "doc_b", "jaccard"]))
 
 
 def q_dedup_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup (scale path; no SQL oracle — rows-only check).
     Bands → bucket groupby → candidate pairs → dedupe → batched
     exact-Jaccard verify against broadcast texts."""
-    from ray.data.aggregate import Count
+    from raykg.functions import hashagg
     from raykg.functions.broadcast import get_cached
     from raykg.ops import dedup as dd
     texts_ref = _texts_ref(sf_dir)
@@ -392,12 +422,20 @@ def q_dedup_minhash_pairs(sf_dir: str):
         out = out[out["jaccard"] >= dd.JACCARD_THRESHOLD]
         return out[["doc_a", "doc_b", "jaccard"]]
 
-    return (_docs_ds(sf_dir)
-            .map_batches(dd.minhash_bands_batch, batch_format="pyarrow")
-            .groupby(["band_id", "band_hash"])
-            .map_groups(dd.pairs_from_bucket, batch_format="pandas")
-            .groupby(["doc_a", "doc_b"])
-            .aggregate(Count(alias_name="_c"))
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # per LSH bucket inside one hash bucket (pandas-level group loop)
+        outs = [dd.pairs_from_bucket(grp) for _, grp in
+                g.groupby(["band_id", "band_hash"], sort=False)]
+        if not outs:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    bands = _docs_ds(sf_dir).map_batches(dd.minhash_bands_batch,
+                                         batch_format="pyarrow")
+    pairs = hashagg.grouped_apply(bands, ["band_id", "band_hash"],
+                                  bucket_pairs)
+    return (hashagg.distinct(pairs, ["doc_a", "doc_b"])
             .map_batches(verify_rows, batch_format="pandas"))
 
 

@@ -50,12 +50,10 @@ def dedup_events(events_ds: rd.Dataset) -> rd.Dataset:
                            zip(df["subj"], df["pred"], df["obj"])]
         return df
 
-    def first_row(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("unit_id").head(1)
-
-    return (events_ds.map_batches(add_key, batch_format="pandas")
-            .groupby("event_key")
-            .map_groups(first_row, batch_format="pandas"))
+    from raykg.functions import hashagg
+    return hashagg.first_by(events_ds.map_batches(add_key,
+                                                  batch_format="pandas"),
+                            ["event_key"], ["unit_id"])
 
 
 def adjacent_pairs(sorted_ds: rd.Dataset, cols: list[str]

@@ -48,14 +48,14 @@ def test_components_distributed(ray_session):
 def test_graph_assembly_merge():
     # A1 merge semantics (models/relationships.py:114-125):
     # k candidates with same (s,p,o) → mention_count=k, passage set-union
-    from raykg.pipelines.kg import merge_triples
+    from raykg.pipelines.kg import triples_bucket
     g = pd.DataFrame({
         "subj_id": ["a"] * 3, "pred": ["MET"] * 3, "obj_id": ["b"] * 3,
         "subj_type": ["character"] * 3, "obj_type": ["character"] * 3,
         "cnt": [1, 2, 1], "confidence": [0.7, 0.9, 0.8],
         "units": [["u1"], ["u1", "u2"], ["u3"]],
     })
-    out = merge_triples(g)
+    out = triples_bucket(g)
     assert out["mention_count"].iloc[0] == 4
     assert out["passage_ids"].iloc[0] == ["u1", "u2", "u3"]
     assert out["n_units"].iloc[0] == 3
