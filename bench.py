@@ -57,8 +57,10 @@ def run_bench() -> dict:
 
     queries: dict[str, float] = {}
     t0 = time.time()
-    paths = kg.build_kg(sf_dir, out_root=out_root, force=True,
-                        extract_concurrency=(1, max(2, ncpu // 2)))
+    # stateless-task extract (worker singletons): regex extractors carry no
+    # heavy model, so actor-pool startup (~3 s) is pure overhead here; pass
+    # extract_concurrency=(1, N) when the extractor loads real models.
+    paths = kg.build_kg(sf_dir, out_root=out_root, force=True)
     kg_sec = time.time() - t0
     queries["kg_pipeline"] = round(kg_sec, 3)
 
@@ -68,7 +70,8 @@ def run_bench() -> dict:
 
     # point the query cache at the freshly built pipeline outputs
     Q._KG_CACHE[sf_dir] = paths
-    for name in QUERY_SET:
+    query_set = [] if os.environ.get("GRAFT_KG_ONLY") else QUERY_SET
+    for name in query_set:
         t0 = time.time()
         res = Q.QUERY_FNS[name](sf_dir)
         if hasattr(res, "count"):
@@ -90,8 +93,11 @@ def run_bench() -> dict:
     return result
 
 
-def run_child(ncpu: int) -> dict:
+def run_child(ncpu: int, sf_dir: str | None = None) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    if sf_dir:
+        env["GRAFT_SF_DIR"] = sf_dir
+        env["GRAFT_KG_ONLY"] = "1"
     out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                          env=env, capture_output=True, text=True,
                          check=True).stdout
@@ -100,9 +106,16 @@ def run_child(ncpu: int) -> dict:
 
 def main():
     if "--scaling" in sys.argv:
+        # Scaling evidence must be measured where compute dominates the
+        # fixed per-stage scheduling cost (~10 s total): at sf0.1 the whole
+        # job runs in ~20 s and the two cluster sizes tie on overhead.  Use
+        # a 5x synthetic corpus (the generator is a pure function of the sf
+        # tag; the KG pipeline reads only the generated corpus).
+        sf_dir = os.environ.get("GRAFT_SCALING_SF_DIR",
+                                "/tmp/raykg_scaling/sf2")
         lo, hi = 8, 32
-        r_lo = run_child(lo)
-        r_hi = run_child(hi)
+        r_lo = run_child(lo, sf_dir)
+        r_hi = run_child(hi, sf_dir)
         thr_lo = r_lo["triples_per_sec"]
         thr_hi = r_hi["triples_per_sec"]
         eff = (thr_hi / thr_lo) / (hi / lo)

@@ -89,20 +89,27 @@ def _kind_filter(kind: str):
     return fn
 
 
+def read_extract_kind(extract_dir: str, kind: str) -> rd.Dataset:
+    """Scan one hive partition (``kind=<value>``) of the extract output —
+    partition pruning at the read, per the prune-at-the-read rule."""
+    return rd.read_parquet(os.path.join(extract_dir, f"kind={kind}"))
+
+
 def nodes_bucket(g: pd.DataFrame) -> pd.DataFrame:
-    """Entity aggregation (S6/A2 analog) for ALL entities in one hashagg
-    bucket, fully vectorized: canonical name = seed name when known, else
-    most-frequent surface (ties → name asc); type = seed type when known,
-    else highest-priority observed type."""
-    base = (g.groupby("entity_id", sort=False)
-            .agg(mention_count=("n_occurrences", "sum"),
-                 n_units=("unit_id", "nunique"),
-                 n_types=("entity_type", "nunique"),
-                 first_seen_unit=("unit_id", "min")))
-    known = (g[~g["is_new"]].groupby("entity_id", sort=False)
+    """Entity name/type selection (S6/A2 analog) for ALL entities in one
+    hashagg bucket, vectorized.  Input = per-surface partial sums
+    ``(entity_id, mention_text, entity_type, is_new, resolved_name,
+    n_occurrences)`` — combiner-compressed, so hot entities arrive as a few
+    rows per surface, not per occurrence.  canonical name = seed name when
+    known, else most-frequent surface (ties → name asc); type = seed type
+    when known, else highest-priority observed type."""
+    surf = (g.groupby(["entity_id", "mention_text", "entity_type", "is_new",
+                       "resolved_name"], sort=False)["n_occurrences"].sum()
+            .reset_index())
+    known = (surf[~surf["is_new"]].groupby("entity_id", sort=False)
              .agg(known_name=("resolved_name", "max"),
                   known_type=("entity_type", "max")))
-    per_surface = (g.groupby(["entity_id", "mention_text"], sort=False)
+    per_surface = (surf.groupby(["entity_id", "mention_text"], sort=False)
                    ["n_occurrences"].sum().reset_index()
                    .sort_values(["entity_id", "n_occurrences",
                                  "mention_text"],
@@ -112,38 +119,44 @@ def nodes_bucket(g: pd.DataFrame) -> pd.DataFrame:
                    .set_index("entity_id")["mention_text"])
     prio = {t: i for i, t in enumerate(TYPE_PRIORITY)}
     inv = dict(enumerate(TYPE_PRIORITY))
-    best_rank = (g.assign(_r=g["entity_type"].map(prio)
-                          .fillna(len(TYPE_PRIORITY)))
+    best_rank = (surf.assign(_r=surf["entity_type"].map(prio)
+                             .fillna(len(TYPE_PRIORITY)))
                  .groupby("entity_id", sort=False)["_r"].min())
     fallback_type = best_rank.map(lambda r: inv.get(int(r), "unknown"))
+    n_types = surf.groupby("entity_id", sort=False)["entity_type"].nunique()
 
-    out = base.reset_index()
+    out = pd.DataFrame({"entity_id": best_rank.index})
     out["canonical_name"] = (out["entity_id"].map(known["known_name"])
                              .fillna(out["entity_id"].map(top_surface)))
     out["entity_type"] = (out["entity_id"].map(known["known_type"])
                           .fillna(out["entity_id"].map(fallback_type)))
-    out["mention_count"] = out["mention_count"].astype("int64")
-    return out[["entity_id", "canonical_name", "entity_type",
-                "mention_count", "n_units", "n_types", "first_seen_unit"]]
+    out["n_types"] = out["entity_id"].map(n_types)
+    return out[["entity_id", "canonical_name", "entity_type", "n_types"]]
 
 
 def triples_bucket(g: pd.DataFrame) -> pd.DataFrame:
     """A1 triple merge (``RelationshipTriple.merge_with``,
     models/relationships.py:114-125) for ALL (s,p,o) keys in one hashagg
-    bucket: mention_count = sum of partial counts, passage_ids = set union
-    (sorted), confidence = max."""
+    bucket.  Input = partial rows keyed (s,p,o,unit): mention_count = sum of
+    partial counts, passage_ids = sorted distinct units, confidence = max —
+    all via vectorized pandas groupbys (the unique-unit pass collapses
+    duplicate (s,p,o,unit) rows arriving from different batches first)."""
     keys = ["subj_id", "pred", "obj_id"]
-    base = (g.groupby(keys, sort=False)
+    per_unit = (g.groupby(keys + ["unit_id"], sort=False)
+                .agg(cnt=("cnt", "sum"), confidence=("confidence", "max"),
+                     subj_type=("subj_type", "max"),
+                     obj_type=("obj_type", "max"))
+                .reset_index()
+                .sort_values(keys + ["unit_id"], kind="mergesort"))
+    base = (per_unit.groupby(keys, sort=False)
             .agg(subj_type=("subj_type", "max"), obj_type=("obj_type", "max"),
                  mention_count=("cnt", "sum"),
-                 confidence=("confidence", "max")))
-    units = (g[keys + ["units"]].explode("units")
-             .groupby(keys, sort=False)["units"]
-             .agg(lambda s: sorted(set(s))))
+                 confidence=("confidence", "max"),
+                 n_units=("unit_id", "size")))
+    units = per_unit.groupby(keys, sort=False)["unit_id"].agg(list)
     out = base.reset_index()
     out["passage_ids"] = units.reindex(
         out.set_index(keys).index).reset_index(drop=True)
-    out["n_units"] = out["passage_ids"].map(len)
     out["mention_count"] = out["mention_count"].astype("int64")
     out["confidence"] = out["confidence"].astype("float64")
     return (out.rename(columns={"subj_id": "subj", "obj_id": "obj"})
@@ -151,8 +164,14 @@ def triples_bucket(g: pd.DataFrame) -> pd.DataFrame:
               "mention_count", "n_units", "passage_ids", "confidence"]])
 
 
+# bump when the on-disk stage layout changes — stale checkpoints from an
+# older layout must not be resumed into
+PIPE_LAYOUT_VERSION = 2
+
+
 def default_out_root(sf_dir: str) -> str:
-    return os.path.join("/tmp/raykg_out", f"v{sc.GEN_VERSION}",
+    return os.path.join("/tmp/raykg_out",
+                        f"v{sc.GEN_VERSION}p{PIPE_LAYOUT_VERSION}",
                         sc.sf_tag_of(sf_dir))
 
 
@@ -200,17 +219,19 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
                 batch_size=batch_size, zero_copy_batch=True)
             code = read_corpus().map_batches(
                 extract_code_fn, batch_format="pyarrow", batch_size=64)
-        prose.write_parquet(os.path.join(tmp, "prose"))
-        code.write_parquet(os.path.join(tmp, "code"))
+        # one execution for both branches (identical row schema) — two
+        # sequential write_parquet calls pay Ray's per-execution startup
+        # twice.  Hive-partition by kind so each downstream stage scans ONLY
+        # its slice (mention/rel/alias_pair/event) instead of filtering a
+        # full-table read.
+        prose.union(code).write_parquet(tmp, partition_cols=["kind"])
 
     extract_dir = lineage.run_stage(out_root, "extract", write_extract, force)
-    ext_paths = [os.path.join(extract_dir, "prose"),
-                 os.path.join(extract_dir, "code")]
 
     # ---- canonicalize: alias-pair edges → union-find rep map (C4) ----
     # The distinct alias-pair vocabulary is bounded by the surface
-    # vocabulary (not the corpus), so collect + driver union-find; duplicate
-    # pairs are harmless to union_find, so no pre-dedup shuffle.
+    # vocabulary (not the corpus): dedup distributed (hashagg.distinct), then
+    # collect the vocabulary-sized distinct pairs for driver union-find.
     alias_index = link.load_alias_index(alias_path)
     known_ids = {v[0] for v in alias_index.values()}
 
@@ -222,11 +243,9 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
         return pa.table({"u": pa.array(us, pa.string()),
                          "v": pa.array(vs, pa.string())})
 
-    edge_rows = (_read_many(ext_paths)
-                 .map_batches(_kind_filter(extract.KIND_ALIAS),
-                              batch_format="pyarrow")
-                 .map_batches(pairs_to_edges, batch_format="pyarrow")
-                 .take_all())
+    edges = read_extract_kind(extract_dir, extract.KIND_ALIAS).map_batches(
+        pairs_to_edges, batch_format="pyarrow")
+    edge_rows = hashagg.distinct(edges, ["u", "v"]).take_all()
     rep = components.union_find(
         [(r["u"], r["v"]) for r in edge_rows],
         key=lambda x: (0 if x in known_ids else 1, x))
@@ -247,9 +266,7 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
             columns={"subj": "mention_text"})
 
     def write_mentions(tmp: str):
-        (_read_many(ext_paths)
-         .map_batches(_kind_filter(extract.KIND_MENTION),
-                      batch_format="pyarrow")
+        (read_extract_kind(extract_dir, extract.KIND_MENTION)
          .map_batches(resolve_mentions_fn, batch_format="pandas",
                       batch_size=4096)
          .write_parquet(tmp))
@@ -257,14 +274,53 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
     mentions_dir = lineage.run_stage(out_root, "mentions", write_mentions,
                                      force)
 
+    # ---- stage: mention_edges (entity↔unit, S9 analog) ----
+    def write_mention_edges(tmp: str):
+        (hashagg.sum_col(
+            rd.read_parquet(mentions_dir,
+                            columns=["entity_id", "unit_id",
+                                     "n_occurrences"]),
+            ["entity_id", "unit_id"], "n_occurrences",
+            name="mention_count")
+         .write_parquet(tmp))
+
+    mention_edges_dir = lineage.run_stage(out_root, "mention_edges",
+                                          write_mention_edges, force)
+
     # ---- stage: nodes (entity aggregation, S6/A2 analog) ----
+    # Split into two combiner-compressed aggregations joined per entity —
+    # the single-pass version shipped every raw mention row of a hot entity
+    # into one bucket (skew straggler); here both shuffles move per-batch
+    # partial sums only.
     def write_nodes(tmp: str):
-        ds = rd.read_parquet(mentions_dir,
-                             columns=["entity_id", "unit_id", "mention_text",
-                                      "n_occurrences", "entity_type",
-                                      "is_new", "resolved_name"])
-        hashagg.grouped_apply(ds, ["entity_id"],
-                              nodes_bucket).write_parquet(tmp)
+        surf_partial_cols = ["entity_id", "mention_text", "entity_type",
+                             "is_new", "resolved_name"]
+
+        def surf_partial(df: pd.DataFrame) -> pd.DataFrame:
+            return (df.groupby(surf_partial_cols, sort=False)
+                    ["n_occurrences"].sum().reset_index())
+
+        names = hashagg.grouped_apply(
+            rd.read_parquet(mentions_dir,
+                            columns=surf_partial_cols + ["n_occurrences"]),
+            ["entity_id"], nodes_bucket, surf_partial)
+
+        def unit_stats(g: pd.DataFrame) -> pd.DataFrame:
+            return (g.groupby("entity_id", sort=False)
+                    .agg(mention_count=("mention_count", "sum"),
+                         n_units=("unit_id", "size"),
+                         first_seen_unit=("unit_id", "min"))
+                    .reset_index())
+
+        stats = hashagg.grouped_apply(
+            rd.read_parquet(mention_edges_dir), ["entity_id"], unit_stats)
+        (names.join(stats, join_type="inner", num_partitions=8,
+                    on=("entity_id",))
+         .map_batches(lambda df: df[[
+             "entity_id", "canonical_name", "entity_type", "mention_count",
+             "n_units", "n_types", "first_seen_unit"]],
+             batch_format="pandas")
+         .write_parquet(tmp))
 
     nodes_dir = lineage.run_stage(out_root, "nodes", write_nodes, force)
 
@@ -288,24 +344,28 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
             return rep_map.get(eid, eid)
 
         batch = batch.copy()
-        batch["subj_id"] = [rid(t, m) for t, m in
-                            zip(batch["subj"], batch["method"])]
-        batch["obj_id"] = [rid(t, m) for t, m in
-                           zip(batch["obj"], batch["method"])]
-        # partial aggregation inside the batch (combiner before shuffle)
-        agg = (batch.groupby(["subj_id", "pred", "obj_id"])
-               .agg(cnt=("unit_id", "size"),
-                    confidence=("confidence", "max"),
-                    units=("unit_id", lambda s: sorted(set(s))))
+        # resolve per UNIQUE surface (prose surfaces repeat heavily), then
+        # vectorized .map back onto the rows
+        uniq = pd.unique(pd.concat([batch["subj"], batch["obj"]]))
+        is_code = batch["method"] == "code"
+        rmap = {t: rid(t, "x") for t in uniq}
+        batch["subj_id"] = batch["subj"].map(rmap).where(~is_code,
+                                                         batch["subj"])
+        batch["obj_id"] = batch["obj"].map(rmap).where(~is_code,
+                                                       batch["obj"])
+        # partial aggregation inside the batch (combiner before shuffle):
+        # one row per (s,p,o,unit) — cnt/conf vectorized, no set lambdas
+        agg = (batch.groupby(["subj_id", "pred", "obj_id", "unit_id"],
+                             sort=False)
+               .agg(cnt=("confidence", "size"),
+                    confidence=("confidence", "max"))
                .reset_index())
-        agg["subj_type"] = [types.get(s, "unknown") for s in agg["subj_id"]]
-        agg["obj_type"] = [types.get(o, "unknown") for o in agg["obj_id"]]
+        agg["subj_type"] = agg["subj_id"].map(types).fillna("unknown")
+        agg["obj_type"] = agg["obj_id"].map(types).fillna("unknown")
         return agg
 
     def write_triples(tmp: str):
-        partials = (_read_many(ext_paths)
-                    .map_batches(_kind_filter(extract.KIND_REL),
-                                 batch_format="pyarrow")
+        partials = (read_extract_kind(extract_dir, extract.KIND_REL)
                     .map_batches(resolve_triples_fn, batch_format="pandas",
                                  batch_size=8192))
         (hashagg.grouped_apply(partials, ["subj_id", "pred", "obj_id"],
@@ -315,24 +375,11 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
 
     triples_dir = lineage.run_stage(out_root, "triples", write_triples, force)
 
-    # ---- stage: mention_edges (entity↔unit, S9 analog) ----
-    def write_mention_edges(tmp: str):
-        (hashagg.sum_col(
-            rd.read_parquet(mentions_dir,
-                            columns=["entity_id", "unit_id",
-                                     "n_occurrences"]),
-            ["entity_id", "unit_id"], "n_occurrences",
-            name="mention_count")
-         .write_parquet(tmp))
-
-    mention_edges_dir = lineage.run_stage(out_root, "mention_edges",
-                                          write_mention_edges, force)
-
     return {
         "data_dir": data_dir, "out_root": out_root,
         "corpus": corpus_path, "alias_table": alias_path,
-        "units": units_dir, "extract_prose": ext_paths[0],
-        "extract_code": ext_paths[1], "mentions": mentions_dir,
+        "units": units_dir, "extract": extract_dir,
+        "mentions": mentions_dir,
         "nodes": nodes_dir, "triples": triples_dir,
         "mention_edges": mention_edges_dir,
     }

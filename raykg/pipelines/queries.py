@@ -246,9 +246,7 @@ def q_voice_profiles(sf_dir: str):
 
 def _events_ds(sf_dir: str):
     p = kg_paths(sf_dir)
-    ext = kg._read_many([p["extract_prose"], p["extract_code"]])
-    return ext.map_batches(kg._kind_filter(extract.KIND_EVENT),
-                           batch_format="pyarrow")
+    return kg.read_extract_kind(p["extract"], extract.KIND_EVENT)
 
 
 def q_events(sf_dir: str):

@@ -320,7 +320,7 @@ def sf_tag_of(sf_dir: str) -> str:
 def n_files_for(sf_tag: str) -> int:
     m = re.match(r"sf([0-9.]+)", sf_tag)
     sf = float(m.group(1)) if m else 0.001
-    return int(min(20000, max(20, round(20000 * sf))))
+    return int(min(200000, max(20, round(20000 * sf))))
 
 
 def corpus_dir(sf_dir: str) -> str:

@@ -49,11 +49,12 @@ def test_graph_assembly_merge():
     # A1 merge semantics (models/relationships.py:114-125):
     # k candidates with same (s,p,o) → mention_count=k, passage set-union
     from raykg.pipelines.kg import triples_bucket
+    # partial rows keyed (s,p,o,unit) — u1 seen by two batches (dup row)
     g = pd.DataFrame({
-        "subj_id": ["a"] * 3, "pred": ["MET"] * 3, "obj_id": ["b"] * 3,
-        "subj_type": ["character"] * 3, "obj_type": ["character"] * 3,
-        "cnt": [1, 2, 1], "confidence": [0.7, 0.9, 0.8],
-        "units": [["u1"], ["u1", "u2"], ["u3"]],
+        "subj_id": ["a"] * 4, "pred": ["MET"] * 4, "obj_id": ["b"] * 4,
+        "subj_type": ["character"] * 4, "obj_type": ["character"] * 4,
+        "unit_id": ["u1", "u1", "u2", "u3"],
+        "cnt": [1, 1, 1, 1], "confidence": [0.7, 0.9, 0.9, 0.8],
     })
     out = triples_bucket(g)
     assert out["mention_count"].iloc[0] == 4
