@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 from raykg import vocab
 from raykg.functions.textnorm import sha256_hex, slugify
 
-GEN_VERSION = 5
+GEN_VERSION = 6
 CACHE_ROOT = "/tmp/raykg_data"
 
 # ---------------------------------------------------------------- name pools
@@ -238,6 +238,22 @@ class _FileGen:
         s, _ = self.pick_char()
         return f"{title} {s} rode onward without rest."
 
+    def sent_rule(self) -> str:
+        """World-building rule sentence (worldbible/patterns.py:90-105
+        rule-shaped statements analog)."""
+        k = self.rng.randint(4)
+        o, _ = self.pick_obj()
+        p, _ = self.pick_place()
+        s, _ = self.pick_char()
+        first = s.split(" ")[0]
+        if k == 0:
+            return f"Only {first} can wield the {o}."
+        if k == 1:
+            return f"No one may enter {p} after dark."
+        if k == 2:
+            return f"The {o} must never leave {p}."
+        return f"By ancient custom the folk of {p} always honor the oath."
+
     def sent_filler(self) -> str:
         n = self.rng.randint(6, 14)
         idx = self.rng.randint(0, len(_FILLER), size=n)
@@ -263,6 +279,8 @@ class _FileGen:
             return self.sent_temporal()
         if r < 0.73:
             return self.sent_title()
+        if r < 0.78:
+            return self.sent_rule()
         return self.sent_filler()
 
     def prose_content(self) -> str:
@@ -327,24 +345,13 @@ def corpus_dir(sf_dir: str) -> str:
     return os.path.join(CACHE_ROOT, f"v{GEN_VERSION}", sf_tag_of(sf_dir))
 
 
-def generate(sf_dir: str, force: bool = False) -> str:
-    """Generate (or reuse cached) corpus/alias/truth parquet for an sf dir.
-
-    Returns the cache directory containing ``corpus.parquet``,
-    ``alias_table.parquet`` and ``truth_triples.parquet``.
-    """
-    out = corpus_dir(sf_dir)
-    marker = os.path.join(out, "_SUCCESS")
-    if os.path.exists(marker) and not force:
-        return out
-    os.makedirs(out, exist_ok=True)
-    pools = build_entity_pools()
-    n = n_files_for(sf_tag_of(sf_dir))
-    n_repos = max(4, n // 40)
-
+def _gen_chunk(pools: dict, lo: int, hi: int, n_repos: int
+               ) -> tuple[pa.Table, list]:
+    """Generate files [lo, hi) — a pure function of (pools, index), so
+    chunks can run as parallel Ray tasks with identical output."""
     repos, paths, commits, langs, contents = [], [], [], [], []
-    truth_rows: list[tuple[str, str, str, str]] = []   # (path, subj, pred, obj)
-    for i in range(n):
+    truth_rows: list[tuple[str, str, str, str]] = []
+    for i in range(lo, hi):
         g = _FileGen(pools, i)
         repo = f"acme/repo{i % n_repos:03d}"
         is_code = (i % 10) >= 7      # 30% code files
@@ -364,14 +371,50 @@ def generate(sf_dir: str, force: bool = False) -> str:
         contents.append(content)
         for s, p, o in g.truth:
             truth_rows.append((path, s, p, o))
-
-    corpus = pa.table({
+    tbl = pa.table({
         "repo": pa.array(repos, pa.string()),
         "path": pa.array(paths, pa.string()),
         "commit": pa.array(commits, pa.string()),
         "lang": pa.array(langs, pa.string()),
         "content": pa.array(contents, pa.string()),
     })
+    return tbl, truth_rows
+
+
+def _generate_chunks(pools: dict, n: int, n_repos: int,
+                     chunk: int = 2000) -> list[tuple[pa.Table, list]]:
+    """Deterministic corpus chunks; parallel Ray tasks when a Ray session
+    exists (generation is per-index pure), serial otherwise."""
+    bounds = [(lo, min(lo + chunk, n)) for lo in range(0, n, chunk)]
+    try:
+        import ray
+        if ray.is_initialized() and len(bounds) > 1:
+            fn = ray.remote(_gen_chunk)
+            return ray.get([fn.remote(pools, lo, hi, n_repos)
+                            for lo, hi in bounds])
+    except Exception:
+        pass
+    return [_gen_chunk(pools, lo, hi, n_repos) for lo, hi in bounds]
+
+
+def generate(sf_dir: str, force: bool = False) -> str:
+    """Generate (or reuse cached) corpus/alias/truth parquet for an sf dir.
+
+    Returns the cache directory containing ``corpus.parquet``,
+    ``alias_table.parquet`` and ``truth_triples.parquet``.
+    """
+    out = corpus_dir(sf_dir)
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker) and not force:
+        return out
+    os.makedirs(out, exist_ok=True)
+    pools = build_entity_pools()
+    n = n_files_for(sf_tag_of(sf_dir))
+    n_repos = max(4, n // 40)
+
+    chunks = _generate_chunks(pools, n, n_repos)
+    corpus = pa.concat_tables([c[0] for c in chunks])
+    truth_rows = [r for c in chunks for r in c[1]]
     # small row groups → Ray Data can split the single file into many
     # blocks (override_num_blocks) so the split stage parallelizes
     pq.write_table(corpus, os.path.join(out, "corpus.parquet"),

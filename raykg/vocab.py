@@ -93,7 +93,8 @@ CAP_BLOCKLIST: tuple[str, ...] = (
     "A", "An", "The", "In", "On", "At", "Of", "To", "And", "But", "Or", "It",
     "He", "She", "They", "We", "You", "I", "His", "Her", "Their", "Then",
     "There", "When", "While", "After", "Before", "Now", "Soon", "Thus", "So",
-    "Yet", "No", "Not", "Chapter", "Part", "Prologue", "Epilogue",
+    "Yet", "No", "Not", "Only", "By", "Chapter", "Part", "Prologue",
+    "Epilogue",
     "First", "Second", "Third", "Fourth", "Age", "Year",
     "Mr", "Mrs", "Dr", "St", "Prof",
 ) + TITLES
@@ -138,3 +139,23 @@ FUNCTION_WORDS: tuple[str, ...] = (
 STOPWORDS: frozenset[str] = frozenset(
     w.lower() for w in FUNCTION_WORDS
 ) | {"i", "you", "we", "them", "then", "now", "very", "one", "two", "must", "shall"}
+
+# --- World-bible categorizer (worldbible/patterns.py:35-105 analog) ---
+# Per-category keyword lists (lowercase word match, ×WB_KEYWORD_WEIGHT each)
+# plus rule-shaped sentence patterns (×WB_RULE_WEIGHT) — the deterministic
+# transposition of the reference's category regex scorers.
+WB_CATEGORIES: dict[str, tuple[str, ...]] = {
+    "culture": ("custom", "oath", "honor", "folk", "tradition"),
+    "geography": ("enter", "leave", "dark", "beyond", "gate"),
+    "history": ("ancient", "age", "year", "era", "old"),
+    "magic": ("wield", "wielded", "forged", "rune", "power"),
+}
+WB_RULE_PATTERNS: tuple[str, ...] = (
+    r"Only [A-Z][a-z]+ (?:can|may) \w+",
+    r"[Nn]o one (?:can|may|shall) \w+",
+    r"must never \w+",
+    r"always \w+",
+)
+WB_KEYWORD_WEIGHT = 0.2
+WB_RULE_WEIGHT = 0.3
+WB_THRESHOLD = 0.3
