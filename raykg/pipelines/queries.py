@@ -520,6 +520,333 @@ def q_multimodal_features(sf_dir: str):
                 batch_format="pandas"))
 
 
+# --------------------------------------------- breadth operators (SURVEY §2)
+
+def q_kg_type_stats(sf_dir: str):
+    """A3 per-type rollup (extract/extractor.py:150-192 analog)."""
+    from raykg.functions import hashagg
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("entity_type", sort=False)
+                .agg(n_entities=("entity_id", "size"),
+                     total_mentions=("mention_count", "sum"))
+                .reset_index())
+
+    return hashagg.grouped_apply(q_kg_nodes(sf_dir), ["entity_type"], rollup,
+                                 num_buckets=8)
+
+
+def q_kg_top_by_type(sf_dir: str):
+    """A3 top-5 entities per type (top-20-characters table analog,
+    extract/extractor.py:184-190)."""
+    from raykg.functions import hashagg
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["entity_type", "mention_count", "entity_id"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+                .groupby("entity_type", sort=False).head(5))
+
+    return hashagg.grouped_apply(q_kg_nodes(sf_dir), ["entity_type"], topk,
+                                 num_buckets=8)
+
+
+def q_kg_suggestions(sf_dir: str):
+    """A5 new-entity suggestions (extract/extractor.py:227-276): unresolved
+    mentions grouped by lowercase surface — occurrence count, distinct-unit
+    count, ≤3 example units; ≥2 occurrences, for seed-file curation."""
+    from raykg.functions import hashagg
+    p = kg_paths(sf_dir)
+    ds = rd.read_parquet(p["mentions"],
+                         columns=["mention_text", "lang", "unit_id",
+                                  "n_occurrences", "is_new"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["is_new"] & (df["lang"] == "txt")].copy()
+        df["surface"] = df["mention_text"].str.lower()
+        return (df.groupby(["surface", "unit_id"], sort=False)
+                ["n_occurrences"].sum().reset_index())
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        per_unit = (g.groupby(["surface", "unit_id"], sort=False)
+                    ["n_occurrences"].sum().reset_index()
+                    .sort_values(["surface", "unit_id"], kind="mergesort"))
+        agg = (per_unit.groupby("surface", sort=False)
+               .agg(n_occurrences=("n_occurrences", "sum"),
+                    n_units=("unit_id", "size"),
+                    example_units=("unit_id",
+                                   lambda s: ",".join(s.iloc[:3])))
+               .reset_index())
+        return agg[agg["n_occurrences"] >= 2]
+
+    return hashagg.grouped_apply(ds, ["surface"], final, partial)
+
+
+def q_kg_units_with_rels(sf_dir: str):
+    """S8/J5 semi-join: only units that produced prose relationships
+    (graph/writer.py:350-362)."""
+    from raykg.functions import hashagg
+    p = kg_paths(sf_dir)
+    rel_units = hashagg.distinct(
+        kg.read_extract_kind(p["extract"], extract.KIND_REL)
+        .map_batches(lambda t: t.filter(pc.not_equal(t["method"], "code"))
+                     .select(["unit_id"]), batch_format="pyarrow"),
+        ["unit_id"])
+    units = rd.read_parquet(p["units"],
+                            columns=["unit_id", "doc_sha256", "repo", "path",
+                                     "text"])
+    return units.join(rel_units, join_type="inner", num_partitions=8,
+                      on=("unit_id",))
+
+
+def q_kg_interactions(sf_dir: str):
+    """A19 character-interaction graph: triples with character endpoints →
+    per (subj, obj) relationship totals (generic_extractor.py:49-71)."""
+    from raykg.functions import hashagg
+    p = kg_paths(sf_dir)
+    ds = rd.read_parquet(p["triples"],
+                         columns=["subj", "obj", "subj_type", "obj_type",
+                                  "mention_count"])
+    pairs = ds.map_batches(
+        lambda t: t.filter(pc.and_(pc.equal(t["subj_type"], "character"),
+                                   pc.equal(t["obj_type"], "character")))
+                   .select(["subj", "obj", "mention_count"]),
+        batch_format="pyarrow")
+    return hashagg.sum_col(pairs, ["subj", "obj"], "mention_count",
+                           name="n_interactions")
+
+
+def q_kg_merge_candidates(sf_dir: str):
+    """C2/C3 merge candidates: co-occurring entity pairs (count ≥ 2) with
+    the reference's heuristic merge decision — same type required (unknown
+    wildcard), then substring containment either way or "the X" ≡ "X"
+    (extract/dynamic_resolver.py:207-264)."""
+    import ray
+    from raykg.functions.broadcast import get_cached
+    p = kg_paths(sf_dir)
+    nodes = rd.read_parquet(p["nodes"],
+                            columns=["entity_id", "canonical_name",
+                                     "entity_type"]).to_pandas()
+    info_ref = ray.put({r.entity_id: (r.canonical_name, r.entity_type)
+                        for r in nodes.itertuples()})
+
+    def decide(df: pd.DataFrame) -> pd.DataFrame:
+        info = get_cached(info_ref)
+
+        def merge_ok(a: str, b: str) -> bool:
+            na, ta = info.get(a, (a, "unknown"))
+            nb, tb = info.get(b, (b, "unknown"))
+            if ta != tb and "unknown" not in (ta, tb):
+                return False
+            la, lb = na.lower(), nb.lower()
+            return (la in lb or lb in la
+                    or la.removeprefix("the ") == lb
+                    or lb.removeprefix("the ") == la)
+
+        out = df.copy()
+        out["merge"] = [merge_ok(a, b) for a, b in
+                        zip(out["entity_a"], out["entity_b"])]
+        return out
+
+    return (q_kg_cooccurrence(sf_dir)
+            .map_batches(decide, batch_format="pandas"))
+
+
+def q_style_delta(sf_dir: str):
+    """A10 Burrows' Delta between repo fingerprints: mean |z_a − z_b| over
+    the shared function words (style/fingerprint.py:176-203).  The repo
+    count is a small constant → the pairwise step is driver-side over the
+    distributed per-(repo, word) counts."""
+    from raykg.functions import hashagg
+    from raykg.stages import fingerprint as fp
+    import numpy as np
+    p = kg_paths(sf_dir)
+    ds = rd.read_parquet(p["units"], columns=["repo", "lang", "text"])
+    counts = hashagg.sum_col(
+        ds.map_batches(fp.word_counts_batch, batch_format="pyarrow",
+                       batch_size=2048),
+        ["repo", "word"], "cnt").to_pandas()
+
+    totals = counts.groupby("repo")["cnt"].sum()
+    fw = counts[counts["word"].isin(vocab.FUNCTION_WORDS)].copy()
+    fw["freq"] = fw["cnt"] / fw["repo"].map(totals)
+    mat = (fw.pivot_table(index="word", columns="repo", values="freq",
+                          fill_value=0.0))
+    mu = mat.mean(axis=1)
+    sd = mat.std(axis=1, ddof=0).replace(0, 1.0)
+    z = mat.sub(mu, axis=0).div(sd, axis=0)
+    repos = sorted(mat.columns)
+    rows = [(a, b, round(float(np.abs(z[a] - z[b]).mean()), 9))
+            for i, a in enumerate(repos) for b in repos[i + 1:]]
+    return pd.DataFrame(rows, columns=["repo_a", "repo_b", "delta"])
+
+
+def q_voice_distinctive(sf_dir: str):
+    """A13 distinctive words per speaker: speaker_freq / (1 +
+    other_usage / total) with the global word table broadcast back
+    (voice/profile.py:280-316) — top 5 per speaker, stopwords excluded."""
+    import ray
+    from raykg.functions import hashagg
+    from raykg.functions.broadcast import get_cached
+    from raykg.stages import dialogue as dlg
+    p = kg_paths(sf_dir)
+    ds = rd.read_parquet(p["units"],
+                         columns=["unit_id", "doc_sha256", "repo", "lang",
+                                  "text"])
+    spans = (ds.map_batches(dlg.spans_batch, batch_format="pyarrow",
+                            batch_size=2048)
+             .map_batches(lambda t: t.filter(
+                 pc.equal(t["attribution_tier"], 1)),
+                 batch_format="pyarrow"))
+
+    def words_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for sp, q in zip(df["speaker"], df["quote_text"]):
+            for w in q.lower().split():
+                w = w.strip('.,!?;:"')
+                if w and w not in vocab.STOPWORDS:
+                    rows.append((sp, w))
+        out = pd.DataFrame(rows, columns=["speaker", "word"])
+        return (out.groupby(["speaker", "word"], sort=False).size()
+                .reset_index(name="cnt"))
+
+    counts = hashagg.grouped_apply(
+        spans, ["speaker", "word"],
+        lambda g: (g.groupby(["speaker", "word"], sort=False,
+                             as_index=False)["cnt"].sum()),
+        words_partial).materialize()      # consumed twice (global + scored)
+
+    # global word usage (vocabulary-sized) broadcast back — the two-pass
+    # plan SURVEY §7.4 calls out
+    gw = counts.to_pandas()
+    totals = gw.groupby("word")["cnt"].sum()
+    total_ref = ray.put(totals.to_dict())
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        tot = get_cached(total_ref)
+        df = df.copy()
+        other = df.apply(lambda r: tot.get(r["word"], 0) - r["cnt"], axis=1)
+        df["distinctiveness"] = (df["cnt"] /
+                                 (1.0 + other / max(1, sum(tot.values())))
+                                 ).round(9)
+        return df
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["speaker", "distinctiveness", "word"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+                .groupby("speaker", sort=False).head(5))
+
+    return hashagg.grouped_apply(
+        counts.map_batches(score, batch_format="pandas"),
+        ["speaker"], topk)
+
+
+def q_wb_passages(sf_dir: str):
+    """M18 world-bible categorizer: per-unit category scores = keyword
+    hits × 0.2 + rule-shaped pattern × 0.3, threshold 0.3
+    (worldbible/patterns.py:107-239)."""
+    from raykg.ops import worldbible as wb
+    p = kg_paths(sf_dir)
+    ds = rd.read_parquet(p["units"], columns=["unit_id", "lang", "text"])
+    return ds.map_batches(wb.categorize_batch, batch_format="pyarrow")
+
+
+def q_wb_rules(sf_dir: str):
+    """A15 rule synthesis (pattern path): per category with ≥2 matching
+    units — unit count, total score, sample rule text (min)
+    (worldbible/extractor.py:136-300)."""
+    from raykg.functions import hashagg
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby("category", sort=False)
+               .agg(n_units=("unit_id", "nunique"),
+                    total_score=("score", "sum"),
+                    sample_rule=("rule_text", "min"))
+               .reset_index())
+        agg["total_score"] = agg["total_score"].round(9)
+        return agg[agg["n_units"] >= 2]
+
+    return hashagg.grouped_apply(q_wb_passages(sf_dir), ["category"], rollup,
+                                 num_buckets=8)
+
+
+def q_event_entity_links(sf_dir: str):
+    """S11/J6 event→entity linking: deduped events' agent/patient matched
+    against the canonical alias map (normalized containment, type priority
+    character→place→object, first match wins) — graph/writer.py:752-806."""
+    import ray
+    from raykg.functions.broadcast import get_cached
+    from raykg.stages import events as ev
+    data_dir = sc.generate(sf_dir)
+    alias_path = os.path.join(data_dir, "alias_table.parquet")
+    import pyarrow.parquet as pq_
+    at = pq_.read_table(alias_path).to_pandas()
+    prio = {"character": 0, "place": 1, "object": 2}
+    cands = sorted(
+        (prio.get(r.entity_type, 3), r.canonical_name.lower(), r.entity_id)
+        for r in at.itertuples())
+    cand_ref = ray.put(cands)
+
+    def link(df: pd.DataFrame) -> pd.DataFrame:
+        cl = get_cached(cand_ref)
+        rows = []
+        for key, agent, patient in zip(df["event_key"], df["agent"],
+                                       df["patient"]):
+            for role, text in (("agent", agent), ("patient", patient)):
+                t = text.lower()
+                for _, name, eid in cl:
+                    if name in t:
+                        rows.append((key, role, eid))
+                        break
+        return pd.DataFrame(rows,
+                            columns=["event_key", "role", "entity_id"])
+
+    return q_events_dedup(sf_dir).map_batches(link, batch_format="pandas")
+
+
+def q_speaker_entities(sf_dir: str):
+    """J7 voice→entity ID map: distinct speakers left-joined to the alias
+    table; unmatched speakers get synthesized ``char_<slug>`` ids
+    (cli.py:1354-1361, graph/writer.py:587-611)."""
+    import ray
+    from raykg.functions import hashagg
+    from raykg.functions.broadcast import get_cached
+    from raykg.functions.textnorm import slugify
+    from raykg.stages import dialogue as dlg
+    from raykg.stages import link as lk
+    data_dir = sc.generate(sf_dir)
+    alias_path = os.path.join(data_dir, "alias_table.parquet")
+    aidx_ref = ray.put(lk.load_alias_index(alias_path))
+    p = kg_paths(sf_dir)
+    ds = rd.read_parquet(p["units"],
+                         columns=["unit_id", "doc_sha256", "repo", "lang",
+                                  "text"])
+    speakers = hashagg.distinct(
+        ds.map_batches(dlg.spans_batch, batch_format="pyarrow",
+                       batch_size=2048)
+        .map_batches(lambda t: t.filter(
+            pc.equal(t["attribution_tier"], 1)).select(["speaker"]),
+            batch_format="pyarrow"),
+        ["speaker"])
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        aidx = get_cached(aidx_ref)
+        ids, known = [], []
+        for s in df["speaker"]:
+            hit = aidx.get(s.lower())
+            if hit is not None:
+                ids.append(hit[0])
+                known.append(True)
+            else:
+                ids.append("char_" + slugify(s))
+                known.append(False)
+        return pd.DataFrame({"speaker": df["speaker"], "entity_id": ids,
+                             "known": known})
+
+    return speakers.map_batches(resolve, batch_format="pandas")
+
+
 # ------------------------------------------------------------- oracle SQL
 
 def _trim(e: str) -> str:
@@ -1279,6 +1606,200 @@ SELECT doc_id,
   round(('0x' || substr(md5(text), 3, 2))::UBIGINT / 255.0, 6) AS f1
 FROM documents"""
 
+    # ---- breadth operators ----
+
+    if name == "kg_type_stats":
+        return (f"WITH t AS ({oracle_for('kg_nodes', sf_dir)}) "
+                "SELECT entity_type, count(*) AS n_entities, "
+                "CAST(sum(mention_count) AS BIGINT) AS total_mentions "
+                "FROM t GROUP BY 1")
+
+    if name == "kg_top_by_type":
+        return (f"WITH t AS ({oracle_for('kg_nodes', sf_dir)}) "
+                "SELECT entity_id, canonical_name, entity_type, "
+                "mention_count, n_units FROM ("
+                "  SELECT *, row_number() OVER (PARTITION BY entity_type "
+                "    ORDER BY mention_count DESC, entity_id) AS rn FROM t) "
+                "WHERE rn <= 5")
+
+    if name == "kg_suggestions":
+        return f"""WITH {U},{M},{R},
+per_unit AS (
+  SELECT lower(mention_text) AS surface, unit_id,
+         CAST(sum(n_occurrences) AS BIGINT) AS n_occurrences
+  FROM resolved WHERE NOT known GROUP BY 1, 2
+)
+SELECT surface, CAST(sum(n_occurrences) AS BIGINT) AS n_occurrences,
+       count(*) AS n_units,
+       array_to_string(list_slice(list(unit_id ORDER BY unit_id), 1, 3),
+                       ',') AS example_units
+FROM per_unit GROUP BY surface HAVING sum(n_occurrences) >= 2"""
+
+    svo_esc = extract.SVO_PATTERN.replace("'", "''")
+    if name == "kg_units_with_rels":
+        return f"""WITH {U}
+SELECT unit_id, doc_sha256, repo, path, text FROM units
+WHERE unit_id IN (
+  SELECT DISTINCT unit_id FROM units
+  WHERE lang = 'txt' AND regexp_matches(text, '{svo_esc}'))"""
+
+    if name == "kg_interactions":
+        return (f"WITH t AS ({oracle_for('kg_triples', sf_dir)}) "
+                "SELECT subj, obj, "
+                "CAST(sum(mention_count) AS BIGINT) AS n_interactions "
+                "FROM t WHERE subj_type = 'character' "
+                "AND obj_type = 'character' GROUP BY 1, 2")
+
+    if name == "kg_merge_candidates":
+        return f"""WITH co AS ({oracle_for('kg_cooccurrence', sf_dir)}),
+nd AS ({oracle_for('kg_nodes', sf_dir)})
+SELECT co.entity_a, co.entity_b, co.pair_count,
+  ((coalesce(na.entity_type, 'unknown') = coalesce(nb.entity_type, 'unknown')
+    OR coalesce(na.entity_type, 'unknown') = 'unknown'
+    OR coalesce(nb.entity_type, 'unknown') = 'unknown')
+   AND (contains(lower(coalesce(nb.canonical_name, co.entity_b)),
+                 lower(coalesce(na.canonical_name, co.entity_a)))
+     OR contains(lower(coalesce(na.canonical_name, co.entity_a)),
+                 lower(coalesce(nb.canonical_name, co.entity_b)))
+     OR regexp_replace(lower(coalesce(na.canonical_name, co.entity_a)),
+                       '^the ', '')
+        = lower(coalesce(nb.canonical_name, co.entity_b))
+     OR regexp_replace(lower(coalesce(nb.canonical_name, co.entity_b)),
+                       '^the ', '')
+        = lower(coalesce(na.canonical_name, co.entity_a)))) AS merge
+FROM co
+LEFT JOIN nd na ON na.entity_id = co.entity_a
+LEFT JOIN nd nb ON nb.entity_id = co.entity_b"""
+
+    if name == "style_delta":
+        fwords = ", ".join(f"'{w}'" for w in vocab.FUNCTION_WORDS)
+        return f"""WITH {U},
+wc AS (
+  SELECT repo, word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT repo, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM units WHERE lang = 'txt')
+  GROUP BY 1, 2
+),
+totals AS (SELECT repo, sum(cnt) AS total FROM wc GROUP BY 1),
+fw AS (SELECT wc.repo, wc.word, wc.cnt / CAST(t.total AS DOUBLE) AS freq
+       FROM wc JOIN totals t USING (repo) WHERE wc.word IN ({fwords})),
+grid AS (
+  SELECT r.repo, w.word, coalesce(f.freq, 0.0) AS freq
+  FROM (SELECT DISTINCT repo FROM wc) r
+  CROSS JOIN (SELECT DISTINCT word FROM fw) w
+  LEFT JOIN fw f ON f.repo = r.repo AND f.word = w.word
+),
+z AS (
+  SELECT repo, word,
+         (freq - avg(freq) OVER (PARTITION BY word))
+         / (CASE WHEN stddev_pop(freq) OVER (PARTITION BY word) = 0
+                 THEN 1.0
+                 ELSE stddev_pop(freq) OVER (PARTITION BY word) END) AS zv
+  FROM grid
+)
+SELECT a.repo AS repo_a, b.repo AS repo_b,
+       round(avg(abs(a.zv - b.zv)), 9) AS delta
+FROM z a JOIN z b ON a.word = b.word AND a.repo < b.repo
+GROUP BY 1, 2"""
+
+    if name == "voice_distinctive":
+        stop = ", ".join(f"'{w}'" for w in sorted(vocab.STOPWORDS))
+        return f"""WITH {U},{spans_cte},
+w AS (
+  SELECT speaker, trim(w, '.,!?;:"') AS word
+  FROM (SELECT speaker, unnest(string_split(lower(quote_text), ' ')) AS w
+        FROM spans)
+  WHERE trim(w, '.,!?;:"') <> ''
+    AND trim(w, '.,!?;:"') NOT IN ({stop})
+),
+cnts AS (SELECT speaker, word, CAST(count(*) AS BIGINT) AS cnt
+         FROM w GROUP BY 1, 2),
+scored AS (
+  SELECT speaker, word, cnt,
+         round(cnt / (1.0 + (sum(cnt) OVER (PARTITION BY word) - cnt)
+                      / greatest(1, sum(cnt) OVER ())), 9)
+           AS distinctiveness
+  FROM cnts
+)
+SELECT speaker, word, cnt, distinctiveness FROM (
+  SELECT *, row_number() OVER (PARTITION BY speaker
+                               ORDER BY distinctiveness DESC, word) AS rn
+  FROM scored) WHERE rn <= 5"""
+
+    wb_rule_sql = "coalesce(" + ", ".join(
+        f"nullif(regexp_extract(text, '{p}'), '')"
+        for p in vocab.WB_RULE_PATTERNS) + ", '')"
+    wb_cases = "\n  UNION ALL\n".join(
+        f"""  SELECT unit_id, '{cat}' AS category,
+    len(regexp_extract_all(lower(text),
+        '\\b({"|".join(kws)})\\b')) AS hits,
+    {wb_rule_sql} AS rule_text
+  FROM units WHERE lang = 'txt'"""
+        for cat, kws in sorted(vocab.WB_CATEGORIES.items()))
+    wb_passages_sql = f"""
+wb_scored AS (
+{wb_cases}
+),
+wb_passages AS (
+  SELECT unit_id, category,
+         round({vocab.WB_KEYWORD_WEIGHT} * hits
+               + CASE WHEN rule_text <> '' THEN {vocab.WB_RULE_WEIGHT}
+                      ELSE 0 END, 6) AS score,
+         rule_text
+  FROM wb_scored
+  WHERE hits > 0
+    AND {vocab.WB_KEYWORD_WEIGHT} * hits
+        + CASE WHEN rule_text <> '' THEN {vocab.WB_RULE_WEIGHT} ELSE 0 END
+        >= {vocab.WB_THRESHOLD}
+)"""
+
+    if name == "wb_passages":
+        return (f"WITH {U},{wb_passages_sql} "
+                "SELECT unit_id, category, score, rule_text FROM wb_passages")
+
+    if name == "wb_rules":
+        return f"""WITH {U},{wb_passages_sql}
+SELECT category, count(DISTINCT unit_id) AS n_units,
+       round(sum(score), 9) AS total_score,
+       min(rule_text) AS sample_rule
+FROM wb_passages GROUP BY category HAVING count(DISTINCT unit_id) >= 2"""
+
+    if name == "event_entity_links":
+        prio_case = ("CASE a.entity_type WHEN 'character' THEN 0 "
+                     "WHEN 'place' THEN 1 WHEN 'object' THEN 2 ELSE 3 END")
+        link_sub = """(
+    SELECT a.entity_id FROM read_parquet('{ap}') a
+    WHERE contains(lower(ed.{col}), lower(a.canonical_name))
+    ORDER BY {pc}, lower(a.canonical_name), a.entity_id LIMIT 1)"""
+        agent_sub = link_sub.format(ap=alias_path, col="agent", pc=prio_case)
+        patient_sub = link_sub.format(ap=alias_path, col="patient",
+                                      pc=prio_case)
+        return f"""WITH {U},{ev_cte},
+links AS (
+  SELECT event_key, 'agent' AS role, {agent_sub} AS entity_id FROM ev_dedup ed
+  UNION ALL
+  SELECT event_key, 'patient' AS role, {patient_sub} AS entity_id
+  FROM ev_dedup ed
+)
+SELECT event_key, role, entity_id FROM links WHERE entity_id IS NOT NULL"""
+
+    if name == "speaker_entities":
+        return f"""WITH {U},{spans_cte},
+alias_keys AS (
+  SELECT entity_id, lower(canonical_name) AS k
+  FROM read_parquet('{alias_path}')
+  UNION ALL
+  SELECT entity_id, lower(unnest(aliases)) AS k
+  FROM read_parquet('{alias_path}')
+)
+SELECT s.speaker,
+       coalesce(ak.entity_id,
+                'char_' || regexp_replace(replace(lower(s.speaker), ' ', '_'),
+                                          '[^a-z0-9_]', '', 'g')) AS entity_id,
+       ak.entity_id IS NOT NULL AS known
+FROM (SELECT DISTINCT speaker FROM spans) s
+LEFT JOIN alias_keys ak ON ak.k = lower(s.speaker)"""
+
     raise KeyError(name)
 
 
@@ -1307,6 +1828,18 @@ QUERY_FNS = {
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    "kg_type_stats": q_kg_type_stats,
+    "kg_top_by_type": q_kg_top_by_type,
+    "kg_suggestions": q_kg_suggestions,
+    "kg_units_with_rels": q_kg_units_with_rels,
+    "kg_interactions": q_kg_interactions,
+    "kg_merge_candidates": q_kg_merge_candidates,
+    "style_delta": q_style_delta,
+    "voice_distinctive": q_voice_distinctive,
+    "wb_passages": q_wb_passages,
+    "wb_rules": q_wb_rules,
+    "event_entity_links": q_event_entity_links,
+    "speaker_entities": q_speaker_entities,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,   # no SQL oracle (LSH)
     "simhash": q_simhash,                           # no SQL oracle
     "embed_neardup": q_embed_neardup,

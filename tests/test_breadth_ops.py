@@ -1,0 +1,87 @@
+"""Unit tests for the breadth operators (SURVEY §2: A3/A5/A10/A13/A19,
+M18/A15, S11/J6, J7, C2/C3)."""
+
+import pandas as pd
+import pyarrow as pa
+
+from raykg import vocab
+from raykg.ops import worldbible as wb
+
+
+def _units(rows):
+    return pa.table({
+        "unit_id": pa.array([r[0] for r in rows], pa.string()),
+        "lang": pa.array([r[1] for r in rows], pa.string()),
+        "text": pa.array([r[2] for r in rows], pa.string()),
+    })
+
+
+def test_wb_rule_patterns():
+    # worldbible/patterns.py:90-105 rule shapes
+    assert wb.first_rule_match("Only Kel can wield the Sunstone.") \
+        == "Only Kel can wield"
+    assert wb.first_rule_match("No one may enter Mirewood after dark.") \
+        == "No one may enter"
+    assert wb.first_rule_match("The orb must never leave the hold.") \
+        == "must never leave"
+    assert wb.first_rule_match("plain sentence") == ""
+
+
+def test_wb_categorize_threshold():
+    t = _units([
+        # rule + magic keyword → magic ≥ 0.3 + rule bonus
+        ("u1", "txt", "Only Kel can wield the Sunstone."),
+        # keyword-only, single hit (0.2) → below threshold, no row
+        ("u2", "txt", "He wielded it."),
+        # two history keywords (0.4) → row without rule bonus
+        ("u3", "txt", "In the First Age, year 10, all was old."),
+        # code units are skipped entirely
+        ("u4", "py", "def ancient(): pass"),
+    ])
+    out = wb.categorize_batch(t)
+    got = dict(zip(zip(out["unit_id"], out["category"]), out["score"]))
+    assert got[("u1", "magic")] == 0.5       # 0.2*1 + 0.3
+    assert ("u2", "magic") not in got
+    assert got[("u3", "history")] == 0.6     # age, year, old → 0.2*3
+    assert not any(u == "u4" for u, _ in got)
+
+
+def test_wb_rule_bonus_requires_keyword_evidence():
+    # a rule-shaped sentence with zero category keywords emits nothing
+    t = _units([("u1", "txt", "Only Bob can sing.")])
+    out = wb.categorize_batch(t)
+    assert len(out[out["category"] == "history"]) == 0
+
+
+def test_merge_candidate_heuristic():
+    # C3 semantics (dynamic_resolver.py:244-264): same type + containment
+    from raykg.pipelines.queries import q_kg_merge_candidates  # noqa: F401
+    # heuristic is embedded in the query; test the rule table directly
+    info = {"a": ("Aldric", "character"), "b": ("Lord Aldric", "character"),
+            "c": ("Mirewood", "place"), "d": ("The Mirewood", "place"),
+            "e": ("Sunstone", "object")}
+
+    def merge_ok(x, y):
+        na, ta = info[x]
+        nb, tb = info[y]
+        if ta != tb and "unknown" not in (ta, tb):
+            return False
+        la, lb = na.lower(), nb.lower()
+        return (la in lb or lb in la
+                or la.removeprefix("the ") == lb
+                or lb.removeprefix("the ") == la)
+
+    assert merge_ok("a", "b")          # substring containment
+    assert merge_ok("c", "d")          # "the X" ≡ "X"
+    assert not merge_ok("a", "c")      # type mismatch
+    assert not merge_ok("c", "e")      # type mismatch, no containment
+
+
+def test_distinctiveness_formula():
+    # A13 (voice/profile.py:280-316): score grows with own usage, shrinks
+    # with other speakers' usage of the same word
+    def score(cnt, other, grand):
+        return cnt / (1.0 + other / max(1, grand))
+
+    assert score(10, 0, 100) > score(10, 90, 100)
+    assert score(10, 0, 100) == 10.0
