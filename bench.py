@@ -111,10 +111,16 @@ def main():
         # job runs in ~20 s and the two cluster sizes tie on overhead.  Use
         # a 5x synthetic corpus (the generator is a pure function of the sf
         # tag; the KG pipeline reads only the generated corpus).
+        # sf4 (80k files): large enough that per-stage scheduling constants
+        # (~13 s total, independent of data size) amortize into the
+        # parallel work — the regime a real multi-node run lives in
         sf_dir = os.environ.get("GRAFT_SCALING_SF_DIR",
-                                "/tmp/raykg_scaling/sf2")
+                                "/tmp/raykg_scaling/sf4")
         lo, hi = 8, 32
+        run_child(hi, sf_dir)               # generates corpus + warms cache
+        time.sleep(8)                       # let the session drain
         r_lo = run_child(lo, sf_dir)
+        time.sleep(8)
         r_hi = run_child(hi, sf_dir)
         thr_lo = r_lo["triples_per_sec"]
         thr_hi = r_hi["triples_per_sec"]

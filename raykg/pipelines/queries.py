@@ -865,7 +865,7 @@ def units_cte(corpus_path: str) -> str:
     return f"""
 corpus AS (
   SELECT repo, path, lang, content, sha256(content) AS doc_sha256
-  FROM read_parquet('{corpus_path}')
+  FROM read_parquet('{corpus_path}/*.parquet')
 ),
 ch_raw AS (
   SELECT doc_sha256, repo, path, lang,

@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 from raykg import vocab
 from raykg.functions.textnorm import sha256_hex, slugify
 
-GEN_VERSION = 6
+GEN_VERSION = 7
 CACHE_ROOT = "/tmp/raykg_data"
 
 # ---------------------------------------------------------------- name pools
@@ -413,12 +413,15 @@ def generate(sf_dir: str, force: bool = False) -> str:
     n_repos = max(4, n // 40)
 
     chunks = _generate_chunks(pools, n, n_repos)
-    corpus = pa.concat_tables([c[0] for c in chunks])
     truth_rows = [r for c in chunks for r in c[1]]
-    # small row groups → Ray Data can split the single file into many
-    # blocks (override_num_blocks) so the split stage parallelizes
-    pq.write_table(corpus, os.path.join(out, "corpus.parquet"),
-                   row_group_size=32)
+    # one file per chunk with normal row groups — a single file with tiny
+    # row groups made every Ray read task re-parse a 40k-row-group footer
+    # (the units stage was 100% serial because of it)
+    cdir = os.path.join(out, "corpus.parquet")
+    os.makedirs(cdir, exist_ok=True)
+    for ci, (tbl, _) in enumerate(chunks):
+        pq.write_table(tbl, os.path.join(cdir, f"part-{ci:05d}.parquet"),
+                       row_group_size=256)
 
     ar = pools["alias_rows"]
     alias_tbl = pa.table({

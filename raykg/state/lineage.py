@@ -86,7 +86,7 @@ def sha_invariant_ok(corpus_path: str, downstream_parquet_dir: str) -> bool:
     con = duckdb.connect()
     n = con.sql(f"""
         with c as (select distinct sha256(content) s
-                   from read_parquet('{corpus_path}')),
+                   from read_parquet('{corpus_path}/*.parquet')),
              d as (select distinct doc_sha256 s
                    from read_parquet('{downstream_parquet_dir}/*.parquet'))
         select (select count(*) from c where s not in (select s from d))
