@@ -847,6 +847,148 @@ def q_speaker_entities(sf_dir: str):
     return speakers.map_batches(resolve, batch_format="pandas")
 
 
+def q_lore_check(sf_dir: str):
+    """M19 claim checks (query side, rows-only): deterministic claim set —
+    8 true, 4 negated-true, 3 fabricated — parsed with the shared verb
+    vocabulary and validated against the triples table in one distributed
+    evidence scan (lore/parser.py:136-250, lore/checker.py:255-296)."""
+    import ray
+    from raykg.functions.broadcast import get_cached
+    from raykg.ops import claims as cl
+    from raykg.stages import link as lk
+    p = kg_paths(sf_dir)
+    data_dir = sc.corpus_dir(sf_dir)
+    alias_index = lk.load_alias_index(
+        os.path.join(data_dir, "alias_table.parquet"))
+
+    pred_to_verb = {}
+    for v in sorted(vocab.VERB_PHRASE_TO_PRED):
+        pred_to_verb.setdefault(vocab.VERB_PHRASE_TO_PRED[v], v)
+    # canonical display name per entity id
+    import pyarrow.parquet as pq_
+    at = pq_.read_table(os.path.join(data_dir, "alias_table.parquet"),
+                        columns=["entity_id", "canonical_name"]).to_pandas()
+    id_name = dict(zip(at["entity_id"], at["canonical_name"]))
+
+    base = (rd.read_parquet(p["triples"],
+                            columns=["subj", "pred", "obj", "mention_count"])
+            .map_batches(lambda df: df[df["subj"].isin(id_name)
+                                       & df["obj"].isin(id_name)],
+                         batch_format="pandas")
+            .sort(["subj", "pred", "obj"]).limit(12).to_pandas())
+
+    claim_rows = []
+    for i, r in base.iterrows():
+        verb = pred_to_verb.get(r["pred"])
+        if verb is None:
+            continue
+        neg = len(claim_rows) % 3 == 2
+        text = (f"{id_name[r['subj']]} {'never ' if neg else ''}{verb} "
+                f"the {id_name[r['obj']]}.")
+        claim_rows.append(text)
+    claim_rows += [f"{id_name[at['entity_id'].iloc[0]]} married "
+                   f"the {id_name[at['entity_id'].iloc[-1]]}.",
+                   "Zzyx fought the Qqqt.",
+                   f"{id_name[at['entity_id'].iloc[1]]} forged "
+                   f"the {id_name[at['entity_id'].iloc[-2]]}."]
+
+    parsed = {}
+    for text in claim_rows:
+        pc_ = cl.parse_claim(text)
+        if pc_ is None:
+            parsed[text] = None
+            continue
+        s = alias_index.get(pc_.subject.lower(), (pc_.subject.lower(),))[0]
+        o = alias_index.get(pc_.obj.lower(), (pc_.obj.lower(),))[0]
+        parsed[text] = (s, pc_.predicate, o, pc_.negated)
+    keys = {v[:3] for v in parsed.values() if v}
+    keys_ref = ray.put(keys)
+
+    def evidence(df: pd.DataFrame) -> pd.DataFrame:
+        ks = get_cached(keys_ref)
+        mask = [(s, pr, ob) in ks for s, pr, ob in
+                zip(df["subj"], df["pred"], df["obj"])]
+        return df[mask][["subj", "pred", "obj", "mention_count"]]
+
+    ev = (rd.read_parquet(p["triples"],
+                          columns=["subj", "pred", "obj", "mention_count"])
+          .map_batches(evidence, batch_format="pandas").to_pandas())
+    ev_map = {(r["subj"], r["pred"], r["obj"]): int(r["mention_count"])
+              for _, r in ev.iterrows()}
+
+    out = []
+    for text, pv in parsed.items():
+        if pv is None:
+            out.append((text, cl.UNPARSEABLE, 0.0, 0))
+            continue
+        cnt = ev_map.get(pv[:3], 0)
+        status, conf = cl.verdict(cnt > 0, pv[3], cnt)
+        out.append((text, status, conf, cnt))
+    return pd.DataFrame(out, columns=["claim", "status", "confidence",
+                                      "evidence_mentions"])
+
+
+def q_ann_lsh(sf_dir: str):
+    """LSH-bucketed ANN (scale path for ann_topk, rows-only): random-
+    hyperplane signs bucket the vectors; each query probes its own bucket
+    plus all hamming-1 neighbors; cosine top-k over candidates only.
+    Bucket assignment is a stateless map; candidate scoring is a broadcast
+    matmul per batch — no shuffle at all."""
+    import ray
+    import numpy as np
+    from raykg.functions.broadcast import get_cached
+    from raykg.ops import similarity as sim
+    import pyarrow.parquet as pq_
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    head = pq_.read_table(path, columns=["vec_id", "embedding"]).to_pandas()
+    qdf = head[head["vec_id"] < sim.N_QUERIES]
+    q_ids = qdf["vec_id"].to_numpy(dtype=np.int64)
+    qm = np.asarray(list(qdf["embedding"]), dtype=np.float64)
+    dim = qm.shape[1]
+    q_buckets = sim.lsh_signs(qm, dim)
+    probes: dict[int, list[int]] = {}
+    for qi, b in zip(q_ids, q_buckets):
+        bs = [int(b)] + [int(b) ^ (1 << k) for k in range(sim.LSH_PLANES)]
+        for bb in bs:
+            probes.setdefault(bb, []).append(int(qi))
+    norms = np.linalg.norm(qm, axis=1, keepdims=True)
+    qn = qm / np.where(norms == 0, 1, norms)
+    state_ref = ray.put((probes, q_ids, qn, dim))
+
+    def bucket_topk(t: pa.Table) -> pd.DataFrame:
+        probes_, q_ids_, qn_, dim_ = get_cached(state_ref)
+        ids, vecs = sim.embedding_matrix(t)
+        buckets = sim.lsh_signs(vecs, dim_)
+        rows = {"query_id": [], "vec_id": [], "cosine": []}
+        vn = vecs / np.where(
+            np.linalg.norm(vecs, axis=1, keepdims=True) == 0, 1,
+            np.linalg.norm(vecs, axis=1, keepdims=True))
+        qpos = {int(q): i for i, q in enumerate(q_ids_)}
+        for b in np.unique(buckets):
+            qlist = probes_.get(int(b))
+            if not qlist:
+                continue
+            mask = buckets == b
+            cids, cvn = ids[mask], vn[mask]
+            sims = qn_[[qpos[q] for q in qlist]] @ cvn.T
+            k = min(sim.TOP_K + 1, sims.shape[1])
+            for row, q in enumerate(qlist):
+                idx = np.argpartition(-sims[row], k - 1)[:k]
+                for j in idx:
+                    rows["query_id"].append(q)
+                    rows["vec_id"].append(int(cids[j]))
+                    rows["cosine"].append(
+                        round(float(sims[row, j]), sim.SIM_ROUND))
+        return pd.DataFrame(rows).astype({"query_id": "int64",
+                                          "vec_id": "int64"})
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    return (ds.map_batches(bucket_topk, batch_format="pyarrow",
+                           batch_size=4096)
+            .groupby("query_id")
+            .map_groups(sim.final_topk, batch_format="pandas"))
+
+
 # ------------------------------------------------------------- oracle SQL
 
 def _trim(e: str) -> str:
@@ -1840,6 +1982,8 @@ QUERY_FNS = {
     "wb_rules": q_wb_rules,
     "event_entity_links": q_event_entity_links,
     "speaker_entities": q_speaker_entities,
+    "lore_check": q_lore_check,
+    "ann_lsh": q_ann_lsh,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,   # no SQL oracle (LSH)
     "simhash": q_simhash,                           # no SQL oracle
     "embed_neardup": q_embed_neardup,
@@ -1848,4 +1992,4 @@ QUERY_FNS = {
 }
 
 # queries with no SQL-expressible oracle → driver records rows-only check
-NO_ORACLE = frozenset({"dedup_minhash_pairs", "simhash"})
+NO_ORACLE = frozenset({"dedup_minhash_pairs", "simhash", "lore_check", "ann_lsh"})

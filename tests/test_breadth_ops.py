@@ -85,3 +85,50 @@ def test_distinctiveness_formula():
 
     assert score(10, 0, 100) > score(10, 90, 100)
     assert score(10, 0, 100) == 10.0
+
+
+def test_claim_parsing_and_verdict():
+    from raykg.ops import claims as cl
+    c = cl.parse_claim("Aldric killed the Belmor.")
+    assert (c.subject, c.predicate, c.obj, c.negated) == \
+        ("Aldric", "KILLED", "Belmor", False)
+    c = cl.parse_claim("Aldric never spoke to Belmor.")
+    assert c.negated and c.predicate == "SPOKE_TO"
+    assert cl.parse_claim("gibberish with no verb") is None
+    # routing (checker.py:255-296): found+positive → SUPPORTED,
+    # found+negated → CONTRADICTED, absent → NO_EVIDENCE
+    assert cl.verdict(True, False, 3)[0] == cl.SUPPORTED
+    assert cl.verdict(True, True, 3)[0] == cl.CONTRADICTED
+    assert cl.verdict(False, False, 0) == (cl.NO_EVIDENCE, 0.5)
+    # confidence clamp (checker.py:27-56)
+    assert 0.5 <= cl.verdict(True, False, 1)[1] <= 0.95
+
+
+def test_lsh_bucketing_on_clustered_data():
+    # On CLUSTERED vectors (the workload LSH exists for) near-duplicates
+    # collide and random pairs mostly don't.  (The sf* embeddings table is
+    # i.i.d. random — no bucketing scheme has signal there, so the ann_lsh
+    # query is a rows-only plumbing check against that table.)
+    import numpy as np
+    from raykg.ops import similarity as sim
+    rng = np.random.RandomState(0)
+    base = rng.normal(size=(20, 64))
+    near = base + 0.05 * rng.normal(size=base.shape)     # planted near-dups
+    b_base = sim.lsh_signs(base, 64)
+    b_near = sim.lsh_signs(near, 64)
+    same = (b_base == b_near).mean()
+    rand_pairs = (sim.lsh_signs(rng.normal(size=(200, 64)), 64)
+                  == sim.lsh_signs(rng.normal(size=(200, 64)), 64)).mean()
+    assert same >= 0.6, f"near-dup collision rate too low: {same}"
+    assert same > rand_pairs + 0.3
+
+
+def test_ann_lsh_shape(ray_session):
+    # plumbing: well-formed per-query top-k, self excluded, rank 1..k
+    from raykg.pipelines import queries as Q
+    approx = Q.q_ann_lsh("/root/testdata/sf0.001").to_pandas()
+    assert set(approx.columns) == {"query_id", "vec_id", "cosine", "rank"}
+    assert (approx["query_id"] != approx["vec_id"]).all()
+    per_q = approx.groupby("query_id")["rank"].apply(
+        lambda s: list(s) == list(range(1, len(s) + 1)))
+    assert per_q.all()
