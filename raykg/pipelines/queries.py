@@ -847,6 +847,44 @@ def q_speaker_entities(sf_dir: str):
     return speakers.map_batches(resolve, batch_format="pandas")
 
 
+def q_kg_fuzzy_links(sf_dir: str):
+    """J2 fuzzy link scoring as a distributed broadcast join (rows-only):
+    deterministic misspelled probes (middle char dropped from each alias
+    name) resolved against the alias table via a per-worker 3-gram
+    inverted index + Indel-ratio verification ≥ 85
+    (extract/resolver.py:91-106; the MinHash/Jaccard candidate generation
+    the north star names for stage 2).  The alias side is broadcast once —
+    the probe table never shuffles."""
+    import ray
+    from raykg.functions.broadcast import get_cached
+    from raykg.stages import link as lk
+    data_dir = sc.corpus_dir(sf_dir)
+    alias_index = lk.load_alias_index(
+        os.path.join(data_dir, "alias_table.parquet"))
+    alias_ref = ray.put(alias_index)
+
+    probes = sorted({name[: len(name) // 2] + name[len(name) // 2 + 1:]
+                     for (_eid, _t, name) in alias_index.values()
+                     if len(name) >= 5 and " " not in name})
+    ds = rd.from_pandas(pd.DataFrame({"probe": probes})).repartition(4)
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        aidx = get_cached(alias_ref)
+        keys = sorted(aidx)
+        got = lk.fuzzy_candidates([p.lower() for p in df["probe"]], keys)
+        by_probe = {p: (k, s) for p, k, s in got}
+        rows = []
+        for p in df["probe"]:
+            hit = by_probe.get(p.lower())
+            if hit is not None:
+                k, s = hit
+                rows.append((p, k, aidx[k][0], round(s, 3)))
+        return pd.DataFrame(rows, columns=["probe", "matched_key",
+                                           "entity_id", "score"])
+
+    return ds.map_batches(match, batch_format="pandas")
+
+
 def q_lore_check(sf_dir: str):
     """M19 claim checks (query side, rows-only): deterministic claim set —
     8 true, 4 negated-true, 3 fabricated — parsed with the shared verb
@@ -1982,6 +2020,7 @@ QUERY_FNS = {
     "wb_rules": q_wb_rules,
     "event_entity_links": q_event_entity_links,
     "speaker_entities": q_speaker_entities,
+    "kg_fuzzy_links": q_kg_fuzzy_links,
     "lore_check": q_lore_check,
     "ann_lsh": q_ann_lsh,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,   # no SQL oracle (LSH)
@@ -1992,4 +2031,4 @@ QUERY_FNS = {
 }
 
 # queries with no SQL-expressible oracle → driver records rows-only check
-NO_ORACLE = frozenset({"dedup_minhash_pairs", "simhash", "lore_check", "ann_lsh"})
+NO_ORACLE = frozenset({"dedup_minhash_pairs", "simhash", "lore_check", "ann_lsh", "kg_fuzzy_links"})
