@@ -255,7 +255,11 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
 
     # ---- stage: mentions (resolved, final canonical ids) ----
     def resolve_mentions_fn(batch: pd.DataFrame) -> pd.DataFrame:
-        resolver = link.ResolveMentions(get_cached(alias_ref))
+        # resolver is a worker-process singleton so its per-surface memo
+        # cache survives across batches (prose surfaces repeat heavily)
+        resolver = _singleton(
+            f"resolver_{alias_ref.hex() if hasattr(alias_ref, 'hex') else id(alias_ref)}",
+            lambda: link.ResolveMentions(get_cached(alias_ref)))
         rep_map = get_cached(rep_ref)
         out = resolver(batch)
         out["entity_id"] = [rep_map.get(e, e) for e in out["entity_id"]]
