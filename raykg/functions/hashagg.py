@@ -45,12 +45,19 @@ def grouped_apply(ds: rd.Dataset, keys: Sequence[str],
                   final_fn: Callable[[pd.DataFrame], pd.DataFrame],
                   partial_fn: Callable[[pd.DataFrame], pd.DataFrame]
                   | None = None,
-                  num_buckets: int = DEFAULT_BUCKETS) -> rd.Dataset:
+                  num_buckets: int = DEFAULT_BUCKETS,
+                  coalesce: int | None = None) -> rd.Dataset:
     """Co-locate rows by hash(keys) bucket, then apply ``final_fn`` once per
     bucket.  ``final_fn`` receives ALL rows of every key in its bucket and
     must aggregate per key itself (vectorized pandas groupby — never a
     Python loop over keys).  ``partial_fn`` (optional combiner) runs per
-    input batch BEFORE the shuffle."""
+    input batch BEFORE the shuffle.
+
+    ``coalesce``: repartition the output into that many blocks.  Required
+    when the output feeds a ``Dataset.join``: ``map_groups`` emits
+    ZERO-COLUMN empty blocks for empty sort partitions, and Arrow's hash
+    join fails schema resolution on them ("No match for FieldRef") —
+    repartition concatenates them away."""
     keys = list(keys)
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -68,13 +75,17 @@ def grouped_apply(ds: rd.Dataset, keys: Sequence[str],
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return final_fn(g.drop(columns="__bucket"))
 
-    return (ds.map_batches(add_bucket, batch_format="pandas")
-            .groupby("__bucket")
-            .map_groups(per_bucket, batch_format="pandas"))
+    out = (ds.map_batches(add_bucket, batch_format="pandas")
+           .groupby("__bucket")
+           .map_groups(per_bucket, batch_format="pandas"))
+    if coalesce is not None:
+        out = out.repartition(coalesce)
+    return out
 
 
 def count_rows(ds: rd.Dataset, keys: Sequence[str], name: str = "count",
-               num_buckets: int = DEFAULT_BUCKETS) -> rd.Dataset:
+               num_buckets: int = DEFAULT_BUCKETS,
+               coalesce: int | None = None) -> rd.Dataset:
     """groupby(keys).count() — partial counts per batch, summed per key."""
     keys = list(keys)
 
@@ -84,7 +95,8 @@ def count_rows(ds: rd.Dataset, keys: Sequence[str], name: str = "count",
     def final(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby(keys, sort=False, as_index=False)[name].sum()
 
-    return grouped_apply(ds, keys, final, partial, num_buckets)
+    return grouped_apply(ds, keys, final, partial, num_buckets,
+                         coalesce)
 
 
 def sum_col(ds: rd.Dataset, keys: Sequence[str], col: str,
@@ -105,7 +117,8 @@ def sum_col(ds: rd.Dataset, keys: Sequence[str], col: str,
 
 
 def distinct(ds: rd.Dataset, keys: Sequence[str],
-             num_buckets: int = DEFAULT_BUCKETS) -> rd.Dataset:
+             num_buckets: int = DEFAULT_BUCKETS,
+             coalesce: int | None = None) -> rd.Dataset:
     """Distinct key combinations (dedup with per-batch combiner)."""
     keys = list(keys)
 
@@ -115,7 +128,7 @@ def distinct(ds: rd.Dataset, keys: Sequence[str],
     def final(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates()
 
-    return grouped_apply(ds, keys, final, partial, num_buckets)
+    return grouped_apply(ds, keys, final, partial, num_buckets, coalesce)
 
 
 def first_by(ds: rd.Dataset, keys: Sequence[str], order_by: Sequence[str],

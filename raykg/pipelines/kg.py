@@ -307,7 +307,7 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
         names = hashagg.grouped_apply(
             rd.read_parquet(mentions_dir,
                             columns=surf_partial_cols + ["n_occurrences"]),
-            ["entity_id"], nodes_bucket, surf_partial)
+            ["entity_id"], nodes_bucket, surf_partial, coalesce=8)
 
         def unit_stats(g: pd.DataFrame) -> pd.DataFrame:
             return (g.groupby("entity_id", sort=False)
@@ -317,7 +317,8 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
                     .reset_index())
 
         stats = hashagg.grouped_apply(
-            rd.read_parquet(mention_edges_dir), ["entity_id"], unit_stats)
+            rd.read_parquet(mention_edges_dir), ["entity_id"], unit_stats,
+            coalesce=8)
         (names.join(stats, join_type="inner", num_partitions=8,
                     on=("entity_id",))
          .map_batches(lambda df: df[[

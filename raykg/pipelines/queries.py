@@ -360,14 +360,14 @@ def q_dedup_jaccard_pairs(sf_dir: str):
 
     # global doc-frequency per shingle (sh is distinct per doc) → join back
     # (a join, not a broadcast: the shingle vocabulary grows with the corpus)
-    df_tbl = hashagg.count_rows(sh, ["shingle"], name="df")
+    df_tbl = hashagg.count_rows(sh, ["shingle"], name="df", coalesce=16)
     # materialize: consumed by BOTH sides of the self-join (without this the
     # whole explode→df→prefix chain recomputes twice); size ≈ 40% of the
     # shingle table — object-store-resident build side, spills if needed
     prefixes = hashagg.grouped_apply(
         sh.select_columns(["doc_id", "shingle", "n"])
         .join(df_tbl, join_type="inner", num_partitions=16, on=("shingle",)),
-        ["doc_id"], dd.prefix_rows_group).materialize()
+        ["doc_id"], dd.prefix_rows_group, coalesce=16).materialize()
 
     right = prefixes.map_batches(
         lambda df: df.rename(columns={"doc_id": "doc_b", "n": "nb"}),
@@ -381,7 +381,7 @@ def q_dedup_jaccard_pairs(sf_dir: str):
                                  <= df[["n", "nb"]].min(axis=1))]
                 .rename(columns={"doc_id": "doc_a"})[["doc_a", "doc_b"]],
                 batch_format="pandas"))
-    cand = hashagg.distinct(cand, ["doc_a", "doc_b"])
+    cand = hashagg.distinct(cand, ["doc_a", "doc_b"], coalesce=8)
 
     # verify: join texts back (candidates ≪ corpus) → exact Jaccard
     ta = docs.map_batches(lambda df: df.rename(
@@ -591,7 +591,7 @@ def q_kg_units_with_rels(sf_dir: str):
         kg.read_extract_kind(p["extract"], extract.KIND_REL)
         .map_batches(lambda t: t.filter(pc.not_equal(t["method"], "code"))
                      .select(["unit_id"]), batch_format="pyarrow"),
-        ["unit_id"])
+        ["unit_id"], coalesce=8)
     units = rd.read_parquet(p["units"],
                             columns=["unit_id", "doc_sha256", "repo", "path",
                                      "text"])
@@ -845,6 +845,79 @@ def q_speaker_entities(sf_dir: str):
                              "known": known})
 
     return speakers.map_batches(resolve, batch_format="pandas")
+
+
+def q_unit_types(sf_dir: str):
+    """M13 unit-type classifier (style/classifier.py:85-136): per-category
+    pattern counts → argmax (ties → name asc), confidence < 0.5 →
+    unknown."""
+    from raykg.ops import unittype as ut
+    p = kg_paths(sf_dir)
+    ds = rd.read_parquet(p["units"], columns=["unit_id", "lang", "text"])
+    return ds.map_batches(ut.classify_batch, batch_format="pyarrow")
+
+
+def q_voice_signatures(sf_dir: str):
+    """A12 signature phrases (voice/profile.py:363-394): per-speaker word
+    bigrams of attributed quotes occurring ≥ 2 times."""
+    from raykg.functions import hashagg
+    from raykg.stages import dialogue as dlg
+    p = kg_paths(sf_dir)
+    ds = rd.read_parquet(p["units"],
+                         columns=["unit_id", "doc_sha256", "repo", "lang",
+                                  "text"])
+    spans = (ds.map_batches(dlg.spans_batch, batch_format="pyarrow",
+                            batch_size=2048)
+             .map_batches(lambda t: t.filter(
+                 pc.equal(t["attribution_tier"], 1)),
+                 batch_format="pyarrow"))
+
+    def bigram_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for sp, q in zip(df["speaker"], df["quote_text"]):
+            ws = [w for w in q.lower().split() if w]
+            for a, b in zip(ws, ws[1:]):
+                rows.append((sp, f"{a} {b}"))
+        out = pd.DataFrame(rows, columns=["speaker", "bigram"])
+        return (out.groupby(["speaker", "bigram"], sort=False).size()
+                .reset_index(name="n"))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby(["speaker", "bigram"], sort=False, as_index=False)
+               ["n"].sum())
+        return agg[agg["n"] >= 2]
+
+    return hashagg.grouped_apply(spans, ["speaker", "bigram"], final,
+                                 bigram_partial)
+
+
+def q_kg_corpus_stats(sf_dir: str):
+    """A14/S4 corpus manifest rollup: per-repo file/lang/byte/unit totals
+    (corpus/manager.py:77-247)."""
+    from raykg.functions import hashagg
+    data_dir = sc.generate(sf_dir)
+    corpus = rd.read_parquet(os.path.join(data_dir, "corpus.parquet"),
+                             columns=["repo", "lang", "content"])
+
+    def file_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(n_files=1,
+                       n_code=(df["lang"] != "txt").astype("int64"),
+                       total_bytes=df["content"].str.len().astype("int64"))
+        return (df.groupby("repo", sort=False, as_index=False)
+                [["n_files", "n_code", "total_bytes"]].sum())
+
+    def file_final(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("repo", sort=False, as_index=False)
+                [["n_files", "n_code", "total_bytes"]].sum())
+
+    files = hashagg.grouped_apply(corpus, ["repo"], file_final, file_partial,
+                                  num_buckets=8, coalesce=4)
+    p = kg_paths(sf_dir)
+    units = hashagg.count_rows(
+        rd.read_parquet(p["units"], columns=["repo"]), ["repo"],
+        name="n_units", num_buckets=8, coalesce=4)
+    return files.join(units, join_type="inner", num_partitions=4,
+                      on=("repo",))
 
 
 def q_kg_fuzzy_links(sf_dir: str):
@@ -1944,6 +2017,64 @@ SELECT category, count(DISTINCT unit_id) AS n_units,
        min(rule_text) AS sample_rule
 FROM wb_passages GROUP BY category HAVING count(DISTINCT unit_id) >= 2"""
 
+    if name == "unit_types":
+        from raykg.ops import unittype as ut
+        cats = sorted(ut.CATEGORY_PATTERNS)            # alphabetical
+        score_cols = ",\n    ".join(
+            f"len(regexp_extract_all(text, '{ut.CATEGORY_PATTERNS[c]}'))"
+            f" AS s_{c}" for c in cats)
+        total = " + ".join(f"s_{c}" for c in cats)
+        # alphabetical cascade == argmax with name-asc tie-break
+        argmax = "CASE "
+        for i, c in enumerate(cats):
+            rest = [f"s_{c} >= s_{o}" for o in cats[i + 1:]]
+            cond = " AND ".join(rest) if rest else "true"
+            argmax += f"WHEN {cond} THEN 's_{c}' "
+        argmax += "END"
+        top_score = "greatest(" + ", ".join(f"s_{c}" for c in cats) + ")"
+        return f"""WITH {U},
+scored AS (
+  SELECT unit_id,
+    {score_cols}
+  FROM units WHERE lang = 'txt'
+)
+SELECT unit_id,
+  CASE WHEN {total} = 0 THEN 'unknown'
+       WHEN {top_score} / CAST({total} AS DOUBLE) < {ut.CONF_THRESHOLD}
+         THEN 'unknown'
+       ELSE substr({argmax}, 3) END AS unit_type,
+  CASE WHEN {total} = 0 THEN 0.0
+       ELSE round({top_score} / CAST({total} AS DOUBLE), 6) END
+    AS confidence
+FROM scored"""
+
+    if name == "voice_signatures":
+        return f"""WITH {U},{spans_cte},
+words AS (
+  SELECT speaker, string_split(lower(quote_text), ' ') AS ws FROM spans
+),
+bigrams AS (
+  SELECT speaker, ws[i] || ' ' || ws[i + 1] AS bigram
+  FROM words, LATERAL (SELECT unnest(range(1, len(ws))) AS i) t
+  WHERE ws[i] <> '' AND ws[i + 1] <> ''
+)
+SELECT speaker, bigram, CAST(count(*) AS BIGINT) AS n
+FROM bigrams GROUP BY 1, 2 HAVING count(*) >= 2"""
+
+    if name == "kg_corpus_stats":
+        return f"""WITH {U},
+files AS (
+  SELECT repo, CAST(count(*) AS BIGINT) AS n_files,
+         CAST(sum(CASE WHEN lang <> 'txt' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_code,
+         CAST(sum(length(content)) AS BIGINT) AS total_bytes
+  FROM corpus GROUP BY repo
+),
+uc AS (SELECT repo, CAST(count(*) AS BIGINT) AS n_units
+       FROM units GROUP BY repo)
+SELECT f.repo, f.n_files, f.n_code, f.total_bytes, uc.n_units
+FROM files f JOIN uc USING (repo)"""
+
     if name == "event_entity_links":
         prio_case = ("CASE a.entity_type WHEN 'character' THEN 0 "
                      "WHEN 'place' THEN 1 WHEN 'object' THEN 2 ELSE 3 END")
@@ -2020,6 +2151,9 @@ QUERY_FNS = {
     "wb_rules": q_wb_rules,
     "event_entity_links": q_event_entity_links,
     "speaker_entities": q_speaker_entities,
+    "unit_types": q_unit_types,
+    "voice_signatures": q_voice_signatures,
+    "kg_corpus_stats": q_kg_corpus_stats,
     "kg_fuzzy_links": q_kg_fuzzy_links,
     "lore_check": q_lore_check,
     "ann_lsh": q_ann_lsh,

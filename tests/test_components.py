@@ -61,3 +61,21 @@ def test_graph_assembly_merge():
     assert out["passage_ids"].iloc[0] == ["u1", "u2", "u3"]
     assert out["n_units"].iloc[0] == 3
     assert out["confidence"].iloc[0] == 0.9
+
+
+def test_hashagg_extreme_skew(ray_session):
+    # hot-key skew (north-rule salting obligation): one key owning 90% of
+    # rows must still aggregate exactly — combiners compress it to one row
+    # per batch before the shuffle
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from raykg.functions import hashagg
+    n = 200_000
+    keys = np.where(np.arange(n) % 10 < 9, "self",
+                    np.char.add("k", (np.arange(n) % 997).astype(str)))
+    ds = rd.from_pandas(pd.DataFrame({"k": keys, "v": 1})).repartition(16)
+    out = hashagg.sum_col(ds, ["k"], "v").to_pandas()
+    assert int(out.loc[out["k"] == "self", "v"].iloc[0]) == (n // 10) * 9
+    assert int(out["v"].sum()) == n
+    assert out["k"].nunique() == len(out)

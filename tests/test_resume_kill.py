@@ -1,0 +1,90 @@
+"""Mid-pipeline failure → resume (north-rule obligation, SURVEY §4.4).
+
+Kills a real build_kg subprocess part-way with SIGKILL, then re-runs and
+checks (a) completed stages were skipped, (b) the final triples match a
+clean build, (c) the sha256 invariant holds.
+"""
+
+import glob
+import json
+import os
+import shutil
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+OUT = "/tmp/raykg_killtest"
+
+_CHILD = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from raykg.pipelines import kg
+kg.build_kg("/root/testdata/sf0.001", out_root=sys.argv[1], force=False)
+print("DONE")
+"""
+
+
+def _manifests(out_root):
+    return sorted(os.path.basename(p) for p in
+                  glob.glob(os.path.join(out_root, "*.lineage.json")))
+
+
+@pytest.mark.slow
+def test_kill_and_resume():
+    shutil.rmtree(OUT, ignore_errors=True)
+    os.makedirs(OUT, exist_ok=True)
+
+    # run 1: kill once the first stage (units) has committed
+    p = subprocess.Popen([sys.executable, "-c", _CHILD, OUT],
+                         stdout=subprocess.DEVNULL,
+                         stderr=subprocess.DEVNULL)
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        done = _manifests(OUT)
+        if "units.lineage.json" in done:
+            break
+        if p.poll() is not None:
+            break
+        time.sleep(0.1)
+    if p.poll() is None:
+        p.send_signal(signal.SIGKILL)
+        p.wait()
+    survived = _manifests(OUT)
+    assert "units.lineage.json" in survived, survived
+    assert "triples.lineage.json" not in survived, "killed too late"
+    units_mtime = os.path.getmtime(os.path.join(OUT, "units.lineage.json"))
+
+    # run 2: must complete, skipping the committed stages
+    out = subprocess.run([sys.executable, "-c", _CHILD, OUT],
+                         capture_output=True, text=True, timeout=300)
+    assert "DONE" in out.stdout, out.stderr[-2000:]
+    assert os.path.getmtime(os.path.join(OUT, "units.lineage.json")) \
+        == units_mtime, "completed stage was re-run"
+    assert "triples.lineage.json" in _manifests(OUT)
+
+    # equivalence with a clean build + invariant
+    import duckdb
+    from raykg.sources import synthetic_corpus as sc
+    from raykg.pipelines import kg as kgm
+    from raykg.state import lineage
+    clean = kgm.default_out_root("/root/testdata/sf0.001")
+    data_dir = sc.corpus_dir("/root/testdata/sf0.001")
+    if os.path.exists(os.path.join(clean, "triples.lineage.json")):
+        n = duckdb.sql(f"""
+            select count(*) from
+              (select * from read_parquet('{OUT}/triples/*.parquet')
+               except
+               select * from read_parquet('{clean}/triples/*.parquet'))
+        """).fetchone()[0]
+        assert n == 0, f"{n} triples differ from clean build"
+    assert lineage.sha_invariant_ok(
+        os.path.join(data_dir, "corpus.parquet"),
+        os.path.join(OUT, "units"))
