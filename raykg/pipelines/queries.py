@@ -847,6 +847,24 @@ def q_speaker_entities(sf_dir: str):
     return speakers.map_batches(resolve, batch_format="pandas")
 
 
+def q_event_lookup(sf_dir: str):
+    """A17/EventGraph.find_events (lore/events.py:118-162,
+    graph/writer.py:863-917): substring filter on agent + era/year
+    ordering + limit 50 — the canonical filter→sort→limit query."""
+    needle = "dric"          # deterministic fuzzy-agent probe
+    deduped = q_events_dedup(sf_dir)
+    return (deduped.map_batches(
+        lambda df: df[df["agent"].str.lower().str.contains(needle)]
+        .assign(era_ord=lambda d: d["era"].map(vocab.ERA_ORDER)
+                .fillna(-1).astype("int64")),
+        batch_format="pandas")
+        .sort(["era_ord", "year", "event_key"])
+        .limit(50)
+        .map_batches(lambda df: df[["event_key", "agent", "action",
+                                    "patient", "era", "year"]],
+                     batch_format="pandas"))
+
+
 def q_unit_types(sf_dir: str):
     """M13 unit-type classifier (style/classifier.py:85-136): per-category
     pattern counts → argmax (ties → name asc), confidence < 0.5 →
@@ -2017,6 +2035,13 @@ SELECT category, count(DISTINCT unit_id) AS n_units,
        min(rule_text) AS sample_rule
 FROM wb_passages GROUP BY category HAVING count(DISTINCT unit_id) >= 2"""
 
+    if name == "event_lookup":
+        return f"""WITH {U},{ev_cte}
+SELECT event_key, agent, action, patient, era, year FROM (
+  SELECT *, {era_case} AS era_ord FROM ev_dedup
+  WHERE contains(lower(agent), 'dric'))
+ORDER BY era_ord, year, event_key LIMIT 50"""
+
     if name == "unit_types":
         from raykg.ops import unittype as ut
         cats = sorted(ut.CATEGORY_PATTERNS)            # alphabetical
@@ -2151,6 +2176,7 @@ QUERY_FNS = {
     "wb_rules": q_wb_rules,
     "event_entity_links": q_event_entity_links,
     "speaker_entities": q_speaker_entities,
+    "event_lookup": q_event_lookup,
     "unit_types": q_unit_types,
     "voice_signatures": q_voice_signatures,
     "kg_corpus_stats": q_kg_corpus_stats,
