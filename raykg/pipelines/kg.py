@@ -166,7 +166,7 @@ def triples_bucket(g: pd.DataFrame) -> pd.DataFrame:
 
 # bump when the on-disk stage layout changes — stale checkpoints from an
 # older layout must not be resumed into
-PIPE_LAYOUT_VERSION = 2
+PIPE_LAYOUT_VERSION = 3
 
 
 def default_out_root(sf_dir: str) -> str:

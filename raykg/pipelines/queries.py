@@ -847,6 +847,40 @@ def q_speaker_entities(sf_dir: str):
     return speakers.map_batches(resolve, batch_format="pandas")
 
 
+def q_kg_graph_stats(sf_dir: str):
+    """`bga graph stats` analog (cli.py:95-128): prose node counts per
+    type ∪ edge counts per predicate, one unioned stats table."""
+    from raykg.functions import hashagg
+    p = kg_paths(sf_dir)
+    triples = rd.read_parquet(p["triples"], columns=["pred"])
+    node_stats = hashagg.count_rows(
+        q_kg_nodes(sf_dir).map_batches(
+            lambda df: df[["entity_type"]].rename(
+                columns={"entity_type": "key"}).assign(kind="node"),
+            batch_format="pandas"),
+        ["kind", "key"], name="n", num_buckets=8)
+    edge_stats = hashagg.count_rows(
+        triples.map_batches(lambda df: df.rename(
+            columns={"pred": "key"}).assign(kind="edge"),
+            batch_format="pandas"),
+        ["kind", "key"], name="n", num_buckets=8)
+    return node_stats.union(edge_stats)
+
+
+def q_kg_type_conflicts(sf_dir: str):
+    """C7 type-conflict recording (corpus/resolver.py:328-339): prose
+    entities observed under more than one mention type (the reference logs
+    the mismatch on the entity rather than resolving it)."""
+    p = kg_paths(sf_dir)
+    ds = rd.read_parquet(p["nodes"], columns=["entity_id", "entity_type",
+                                              "n_types"])
+    return ds.map_batches(
+        lambda df: df[df["entity_type"].isin(PROSE_TYPES)
+                      & (df["n_types"] > 1)]
+        .astype({"n_types": "int64"}),
+        batch_format="pandas")
+
+
 def q_event_lookup(sf_dir: str):
     """A17/EventGraph.find_events (lore/events.py:118-162,
     graph/writer.py:863-917): substring filter on agent + era/year
@@ -1369,7 +1403,10 @@ nodes AS (
               WHEN bool_or(r.label = 'PERSON') THEN 'character'
               ELSE 'unknown' END AS entity_type,
          CAST(sum(r.n_occurrences) AS BIGINT) AS mention_count,
-         count(DISTINCT r.unit_id) AS n_units
+         count(DISTINCT r.unit_id) AS n_units,
+         count(DISTINCT CASE WHEN r.known THEN r.known_type
+                             WHEN r.label = 'PERSON' THEN 'character'
+                             ELSE 'unknown' END) AS n_types
   FROM resolved r
   LEFT JOIN node_names nn ON nn.entity_id = r.entity_id AND nn.rn = 1
   GROUP BY r.entity_id
@@ -2035,6 +2072,21 @@ SELECT category, count(DISTINCT unit_id) AS n_units,
        min(rule_text) AS sample_rule
 FROM wb_passages GROUP BY category HAVING count(DISTINCT unit_id) >= 2"""
 
+    if name == "kg_graph_stats":
+        return f"""WITH n AS ({oracle_for('kg_nodes', sf_dir)}),
+t AS ({oracle_for('kg_triples', sf_dir)})
+SELECT 'node' AS kind, entity_type AS key,
+       CAST(count(*) AS BIGINT) AS n
+FROM n GROUP BY 2
+UNION ALL
+SELECT 'edge', pred, CAST(count(*) AS BIGINT) FROM t GROUP BY 2"""
+
+    if name == "kg_type_conflicts":
+        prose = ", ".join(f"'{t}'" for t in PROSE_TYPES)
+        return (f"WITH {U},{M},{R},{nodes_sql} "
+                "SELECT entity_id, entity_type, n_types FROM nodes "
+                f"WHERE entity_type IN ({prose}) AND n_types > 1")
+
     if name == "event_lookup":
         return f"""WITH {U},{ev_cte}
 SELECT event_key, agent, action, patient, era, year FROM (
@@ -2176,6 +2228,8 @@ QUERY_FNS = {
     "wb_rules": q_wb_rules,
     "event_entity_links": q_event_entity_links,
     "speaker_entities": q_speaker_entities,
+    "kg_graph_stats": q_kg_graph_stats,
+    "kg_type_conflicts": q_kg_type_conflicts,
     "event_lookup": q_event_lookup,
     "unit_types": q_unit_types,
     "voice_signatures": q_voice_signatures,

@@ -87,12 +87,13 @@ class ResolveMentions:
         if got is None:
             eid, etype, conf, is_new, canon = resolve_key(
                 norm_key(text), self.alias_index)
-            if is_new and label == "PERSON":
-                etype = "character"
             got = (eid, etype, conf, is_new, canon if canon else text)
             self._cache[text] = got
-        elif got[3] and label == "PERSON" and got[1] != "character":
-            got = (got[0], "character", got[2], True, got[4])
+        # per-ROW typing for unknowns: a PERSON-labelled sighting is a
+        # character sighting; the cache keeps the label-independent base so
+        # the result never depends on which label a worker saw first
+        if got[3] and label == "PERSON" and got[1] != "character":
+            return got[0], "character", got[2], True, got[4]
         return got
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
