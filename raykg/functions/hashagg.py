@@ -6,21 +6,30 @@ high-cardinality keys: a 74k-row / 64k-group Count measured 179 s on one
 node, while the equivalent bucketed plan below runs 5M rows / 3.8M groups
 in 2.5 s.  The trick:
 
-1. **partial** (combiner): vectorized pandas groupby inside each input
-   batch — shrinks the shuffle payload to one row per (batch, key).
-2. bucket column = ``hash(keys) % num_buckets`` (vectorized, deterministic
-   ``pd.util.hash_pandas_object``) — every key lives in exactly one bucket.
-3. ``groupby("__bucket").map_groups(final)`` — the shuffle moves partial
-   rows, and Python-level grouping happens over *num_buckets* groups (a
-   knob sized to the cluster, not the key cardinality); the real per-key
-   aggregation inside each bucket is again a vectorized pandas groupby.
+1. **partial** (combiner): vectorized groupby inside each input batch —
+   shrinks the shuffle payload to one row per (batch, key).  The built-in
+   helpers (`count_rows` / `sum_col` / `distinct` / `first_by`) run their
+   combiners in polars over zero-copy Arrow batches: pandas object-dtype
+   string keys made a 13M-row sum 20× slower than int keys; polars'
+   native string hashing/grouping removes most of that gap.
+2. bucket column = ``row_hash(keys) % num_buckets`` — every key lives in
+   exactly one bucket.  Bucket assignment only co-locates; it never
+   affects results, so any fast deterministic hash is fine.
+3. **materialize barrier** before the bucket groupby: Ray's sort-based
+   shuffle SAMPLES its input to pick range boundaries, which re-executes a
+   lazy upstream — composing map→groupby lazily measured 48 s where
+   map-then-barrier-then-groupby measured 13 s.  The barrier holds only
+   post-combiner (already reduced) data, i.e. it is the shuffle-write a
+   distributed SQL engine would do anyway.
+4. ``groupby("__bucket").map_groups(final)`` — Python-level grouping over
+   *num_buckets* groups (a knob sized to the cluster, not the key
+   cardinality); per-key aggregation inside each bucket is vectorized.
 
-This is exactly the partial→final hash aggregation of a distributed SQL
-engine, expressed in Ray Data operators.  Skew note: a single hot KEY
-still lands in one bucket, but its rows were already combined per batch by
-the partial pass, so the bucket receives O(#batches) rows per key, not
-O(#occurrences) — the salting the north rule asks for falls out of the
-combiner.
+Skew note: a single hot KEY still lands in one bucket, but its rows were
+already combined per batch by the partial pass, so the bucket receives
+O(#batches) rows per key, not O(#occurrences) — the salting the north rule
+asks for falls out of the combiner
+(tests/test_components.py::test_hashagg_extreme_skew).
 
 Reference semantics served by this module: triple merge A1
 (``models/relationships.py:114-125``), mention counting A2
@@ -35,10 +44,31 @@ from __future__ import annotations
 from typing import Callable, Sequence
 
 import pandas as pd
+import pyarrow as pa
 
 import ray.data as rd
 
 DEFAULT_BUCKETS = 64
+
+
+def _pl():
+    import polars as pl
+    return pl
+
+
+def _bucket_expr(d, keys: list[str], num_buckets: int):
+    pl = _pl()
+    return (d.select(keys).hash_rows() % num_buckets).cast(pl.Int64)
+
+
+def _finish(mapped: rd.Dataset, per_bucket, coalesce: int | None
+            ) -> rd.Dataset:
+    out = (mapped.materialize()           # barrier: see module docstring §3
+           .groupby("__bucket")
+           .map_groups(per_bucket, batch_format="pandas"))
+    if coalesce is not None:
+        out = out.repartition(coalesce)
+    return out
 
 
 def grouped_apply(ds: rd.Dataset, keys: Sequence[str],
@@ -59,61 +89,68 @@ def grouped_apply(ds: rd.Dataset, keys: Sequence[str],
     join fails schema resolution on them ("No match for FieldRef") —
     repartition concatenates them away."""
     keys = list(keys)
+    pl = _pl()
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         if partial_fn is not None:
             df = partial_fn(df)
+        out = df.copy()
         if len(df) == 0:
-            out = df.copy()
             out["__bucket"] = pd.Series([], dtype="int64")
             return out
-        out = df.copy()
-        out["__bucket"] = (pd.util.hash_pandas_object(out[keys], index=False)
-                           % num_buckets).astype("int64")
+        # positional assignment (.to_numpy) — partial_fn may return frames
+        # with non-Range indexes, and Series assignment would align on them
+        out["__bucket"] = _bucket_expr(pl.from_pandas(out.reset_index(
+            drop=True)), keys, num_buckets).to_numpy()
         return out
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return final_fn(g.drop(columns="__bucket"))
 
-    out = (ds.map_batches(add_bucket, batch_format="pandas")
-           .groupby("__bucket")
-           .map_groups(per_bucket, batch_format="pandas"))
-    if coalesce is not None:
-        out = out.repartition(coalesce)
-    return out
+    return _finish(ds.map_batches(add_bucket, batch_format="pandas"),
+                   per_bucket, coalesce)
+
+
+def _pl_two_phase(ds: rd.Dataset, keys: list[str], agg_exprs_partial,
+                  agg_exprs_final, num_buckets: int,
+                  coalesce: int | None) -> rd.Dataset:
+    """Shared polars partial→bucket→final plan for the builtin helpers."""
+    pl = _pl()
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pl.from_arrow(t).group_by(keys).agg(agg_exprs_partial)
+        return g.with_columns(
+            _bucket_expr(g, keys, num_buckets).alias("__bucket")).to_arrow()
+
+    def final(gdf: pd.DataFrame) -> pd.DataFrame:
+        d = pl.from_pandas(gdf.drop(columns="__bucket"))
+        return (d.group_by(keys).agg(agg_exprs_final)
+                .sort(keys).to_pandas())
+
+    return _finish(ds.map_batches(partial, batch_format="pyarrow"),
+                   final, coalesce)
 
 
 def count_rows(ds: rd.Dataset, keys: Sequence[str], name: str = "count",
                num_buckets: int = DEFAULT_BUCKETS,
                coalesce: int | None = None) -> rd.Dataset:
     """groupby(keys).count() — partial counts per batch, summed per key."""
-    keys = list(keys)
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(keys, sort=False).size().reset_index(name=name)
-
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(keys, sort=False, as_index=False)[name].sum()
-
-    return grouped_apply(ds, keys, final, partial, num_buckets,
-                         coalesce)
+    pl = _pl()
+    return _pl_two_phase(ds, list(keys),
+                         [pl.len().cast(pl.Int64).alias(name)],
+                         [pl.col(name).sum()], num_buckets, coalesce)
 
 
 def sum_col(ds: rd.Dataset, keys: Sequence[str], col: str,
             name: str | None = None,
-            num_buckets: int = DEFAULT_BUCKETS) -> rd.Dataset:
+            num_buckets: int = DEFAULT_BUCKETS,
+            coalesce: int | None = None) -> rd.Dataset:
     """groupby(keys).sum(col) with a per-batch combiner."""
-    keys = list(keys)
+    pl = _pl()
     name = name or col
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = (df.groupby(keys, sort=False, as_index=False)[col].sum())
-        return out.rename(columns={col: name})
-
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(keys, sort=False, as_index=False)[name].sum()
-
-    return grouped_apply(ds, keys, final, partial, num_buckets)
+    return _pl_two_phase(ds, list(keys),
+                         [pl.col(col).sum().alias(name)],
+                         [pl.col(name).sum()], num_buckets, coalesce)
 
 
 def distinct(ds: rd.Dataset, keys: Sequence[str],
@@ -121,14 +158,19 @@ def distinct(ds: rd.Dataset, keys: Sequence[str],
              coalesce: int | None = None) -> rd.Dataset:
     """Distinct key combinations (dedup with per-batch combiner)."""
     keys = list(keys)
+    pl = _pl()
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df[keys].drop_duplicates()
+    def partial(t: pa.Table) -> pa.Table:
+        g = pl.from_arrow(t).select(keys).unique()
+        return g.with_columns(
+            _bucket_expr(g, keys, num_buckets).alias("__bucket")).to_arrow()
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates()
+    def final(gdf: pd.DataFrame) -> pd.DataFrame:
+        return (pl.from_pandas(gdf.drop(columns="__bucket"))
+                .unique().sort(keys).to_pandas())
 
-    return grouped_apply(ds, keys, final, partial, num_buckets, coalesce)
+    return _finish(ds.map_batches(partial, batch_format="pyarrow"),
+                   final, coalesce)
 
 
 def first_by(ds: rd.Dataset, keys: Sequence[str], order_by: Sequence[str],
