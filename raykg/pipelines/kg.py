@@ -141,27 +141,27 @@ def triples_bucket(g: pd.DataFrame) -> pd.DataFrame:
     partial counts, passage_ids = sorted distinct units, confidence = max —
     all via vectorized pandas groupbys (the unique-unit pass collapses
     duplicate (s,p,o,unit) rows arriving from different batches first)."""
+    import polars as pl
     keys = ["subj_id", "pred", "obj_id"]
-    per_unit = (g.groupby(keys + ["unit_id"], sort=False)
-                .agg(cnt=("cnt", "sum"), confidence=("confidence", "max"),
-                     subj_type=("subj_type", "max"),
-                     obj_type=("obj_type", "max"))
-                .reset_index()
-                .sort_values(keys + ["unit_id"], kind="mergesort"))
-    base = (per_unit.groupby(keys, sort=False)
-            .agg(subj_type=("subj_type", "max"), obj_type=("obj_type", "max"),
-                 mention_count=("cnt", "sum"),
-                 confidence=("confidence", "max"),
-                 n_units=("unit_id", "size")))
-    units = per_unit.groupby(keys, sort=False)["unit_id"].agg(list)
-    out = base.reset_index()
-    out["passage_ids"] = units.reindex(
-        out.set_index(keys).index).reset_index(drop=True)
-    out["mention_count"] = out["mention_count"].astype("int64")
+    d = pl.from_pandas(g)
+    per_unit = (d.group_by(keys + ["unit_id"])
+                .agg(cnt=pl.col("cnt").sum(),
+                     confidence=pl.col("confidence").max(),
+                     subj_type=pl.col("subj_type").max(),
+                     obj_type=pl.col("obj_type").max())
+                .sort(keys + ["unit_id"]))
+    base = (per_unit.group_by(keys, maintain_order=True)
+            .agg(subj_type=pl.col("subj_type").max(),
+                 obj_type=pl.col("obj_type").max(),
+                 mention_count=pl.col("cnt").sum().cast(pl.Int64),
+                 n_units=pl.len().cast(pl.Int64),
+                 passage_ids=pl.col("unit_id"),   # sorted (per_unit sort)
+                 confidence=pl.col("confidence").max()))
+    out = base.rename({"subj_id": "subj", "obj_id": "obj"}).to_pandas()
+    out["passage_ids"] = out["passage_ids"].map(list)
     out["confidence"] = out["confidence"].astype("float64")
-    return (out.rename(columns={"subj_id": "subj", "obj_id": "obj"})
-            [["subj", "pred", "obj", "subj_type", "obj_type",
-              "mention_count", "n_units", "passage_ids", "confidence"]])
+    return out[["subj", "pred", "obj", "subj_type", "obj_type",
+                "mention_count", "n_units", "passage_ids", "confidence"]]
 
 
 # bump when the on-disk stage layout changes — stale checkpoints from an
@@ -301,24 +301,39 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
                              "is_new", "resolved_name"]
 
         def surf_partial(df: pd.DataFrame) -> pd.DataFrame:
-            return (df.groupby(surf_partial_cols, sort=False)
-                    ["n_occurrences"].sum().reset_index())
+            import polars as pl
+            return (pl.from_pandas(df).group_by(surf_partial_cols)
+                    .agg(n_occurrences=pl.col("n_occurrences").sum())
+                    .to_pandas())
 
         names = hashagg.grouped_apply(
             rd.read_parquet(mentions_dir,
                             columns=surf_partial_cols + ["n_occurrences"]),
             ["entity_id"], nodes_bucket, surf_partial, coalesce=8)
 
-        def unit_stats(g: pd.DataFrame) -> pd.DataFrame:
-            return (g.groupby("entity_id", sort=False)
-                    .agg(mention_count=("mention_count", "sum"),
-                         n_units=("unit_id", "size"),
-                         first_seen_unit=("unit_id", "min"))
-                    .reset_index())
+        # mention_edges rows are globally DISTINCT (entity, unit) pairs, so
+        # per-batch counts are a valid combiner — the shuffle ships partial
+        # sums, not the 1-row-per-pair table
+        def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+            import polars as pl
+            return (pl.from_pandas(df).group_by("entity_id")
+                    .agg(mention_count=pl.col("mention_count").sum()
+                         .cast(pl.Int64),
+                         n_units=pl.len().cast(pl.Int64),
+                         first_seen_unit=pl.col("unit_id").min())
+                    .to_pandas())
+
+        def stats_final(g: pd.DataFrame) -> pd.DataFrame:
+            import polars as pl
+            return (pl.from_pandas(g).group_by("entity_id")
+                    .agg(mention_count=pl.col("mention_count").sum(),
+                         n_units=pl.col("n_units").sum(),
+                         first_seen_unit=pl.col("first_seen_unit").min())
+                    .to_pandas())
 
         stats = hashagg.grouped_apply(
-            rd.read_parquet(mention_edges_dir), ["entity_id"], unit_stats,
-            coalesce=8)
+            rd.read_parquet(mention_edges_dir), ["entity_id"], stats_final,
+            stats_partial, coalesce=8)
         (names.join(stats, join_type="inner", num_partitions=8,
                     on=("entity_id",))
          .map_batches(lambda df: df[[
@@ -348,6 +363,7 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
             eid = link.resolve_key(link.norm_key(text), aidx)[0]
             return rep_map.get(eid, eid)
 
+        import polars as pl
         batch = batch.copy()
         # resolve per UNIQUE surface (prose surfaces repeat heavily), then
         # vectorized .map back onto the rows
@@ -359,12 +375,14 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
         batch["obj_id"] = batch["obj"].map(rmap).where(~is_code,
                                                        batch["obj"])
         # partial aggregation inside the batch (combiner before shuffle):
-        # one row per (s,p,o,unit) — cnt/conf vectorized, no set lambdas
-        agg = (batch.groupby(["subj_id", "pred", "obj_id", "unit_id"],
-                             sort=False)
-               .agg(cnt=("confidence", "size"),
-                    confidence=("confidence", "max"))
-               .reset_index())
+        # one row per (s,p,o,unit) — polars group_by (string keys are 20×
+        # slower through pandas object dtype)
+        agg = (pl.from_pandas(batch[["subj_id", "pred", "obj_id", "unit_id",
+                                     "confidence"]])
+               .group_by(["subj_id", "pred", "obj_id", "unit_id"])
+               .agg(cnt=pl.len().cast(pl.Int64),
+                    confidence=pl.col("confidence").max())
+               .to_pandas())
         agg["subj_type"] = agg["subj_id"].map(types).fillna("unknown")
         agg["obj_type"] = agg["obj_id"].map(types).fillna("unknown")
         return agg
