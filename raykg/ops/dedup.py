@@ -2,10 +2,11 @@
 
 * exact dedup         — hash-partition by content md5 → per-group first
   (min doc_id winner).
-* n-gram Jaccard      — word-shingle explode → groupby(shingle) → candidate
-  pairs sharing ≥1 shingle → exact Jaccard ≥ threshold.  Equivalent to
-  all-pairs Jaccard at the threshold (J>0 ⇒ shared shingle), but only
-  touches co-bucketed pairs.  SQL-oracled.
+* n-gram Jaccard      — prefix-filtering set-similarity join (SSJoin /
+  PPJoin prefix principle): per doc keep the ``n − ⌈t·n⌉ + 1`` globally-
+  rarest shingles as join keys, verify survivors with exact Jaccard —
+  lossless for J ≥ t, and hot shingles never become join keys.
+  SQL-oracled.
 * MinHash + LSH       — per-doc minhash signature (md5-derived permutations)
   → banding → groupby(band, band_hash) buckets → candidate pairs → verify
   true Jaccard.  The scale path for near-dup; same verified output as the
@@ -55,16 +56,6 @@ def exact_dedup_batch(t: pa.Table) -> pa.Table:
     md5 = [hashlib.md5(x.encode()).hexdigest() for x in texts]
     return pa.table({"doc_id": t["doc_id"],
                      "text_md5": pa.array(md5, pa.string())})
-
-
-def shingle_explode_batch(t: pa.Table) -> pd.DataFrame:
-    doc_ids, shingles = [], []
-    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-        for sh in word_shingles(text):
-            doc_ids.append(did)
-            shingles.append(hashlib.md5(sh.encode()).hexdigest())
-    return pd.DataFrame({"doc_id": pd.Series(doc_ids, dtype="int64"),
-                         "shingle": pd.Series(shingles, dtype=str)})
 
 
 def _hash64(s: str, salt: int = 0) -> int:

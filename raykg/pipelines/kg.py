@@ -24,8 +24,10 @@ Performance notes (measured via the lineage wall clocks):
 * Broadcast sides (alias index, union-find rep map, node-type map) are
   ``ray.put`` once and memoized per worker (``functions.broadcast``); at
   10^12-file scale the node-type map becomes a bucketed hash join instead.
-* Pure-sum aggregations use ``groupby().aggregate(Sum)`` (vectorized hash
-  aggregate), not per-group ``map_groups``.
+* Every aggregation goes through ``functions.hashagg`` (polars combiners →
+  bucket shuffle → vectorized finals) — Ray's native per-group aggregate
+  and pandas object-dtype string groupbys were both measured order-of-
+  magnitude slower (see hashagg module docstring).
 * The distinct alias-edge set is vocabulary-sized (pairs of surface forms,
   not corpus-sized) → collected to the driver for union-find; the fully
   distributed min-label propagation lives in ``stages.components`` for
@@ -38,7 +40,6 @@ import os
 
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -73,20 +74,6 @@ def _ncpu() -> int:
         return max(2, int(ray.cluster_resources().get("CPU", 8)))
     except Exception:
         return 8
-
-
-def _read_many(paths: list[str]) -> rd.Dataset:
-    """read_parquet over multiple directories (list-of-dirs unsupported)."""
-    ds = rd.read_parquet(paths[0])
-    for p in paths[1:]:
-        ds = ds.union(rd.read_parquet(p))
-    return ds
-
-
-def _kind_filter(kind: str):
-    def fn(t: pa.Table) -> pa.Table:
-        return t.filter(pc.equal(t["kind"], kind))
-    return fn
 
 
 def read_extract_kind(extract_dir: str, kind: str) -> rd.Dataset:

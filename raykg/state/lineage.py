@@ -57,15 +57,20 @@ def run_stage(out_root: str, name: str,
     info = write_fn(tmp_dir) or {}
     wall = time.time() - t0
 
-    parts = []
-    total_rows = 0
-    for f in sorted(glob.glob(os.path.join(tmp_dir, "**", "*.parquet"),
-                              recursive=True)):
-        meta = pq.ParquetFile(f).metadata
-        rows = meta.num_rows
-        total_rows += rows
-        parts.append({"file": os.path.relpath(f, tmp_dir), "rows": rows,
-                      "bytes": os.path.getsize(f)})
+    # per-file footer reads parallelized — file counts scale with data and
+    # worker count, and a serial driver-side scan was measurable at sf8
+    from concurrent.futures import ThreadPoolExecutor
+    files = sorted(glob.glob(os.path.join(tmp_dir, "**", "*.parquet"),
+                             recursive=True))
+
+    def _part(f: str) -> dict:
+        return {"file": os.path.relpath(f, tmp_dir),
+                "rows": pq.ParquetFile(f).metadata.num_rows,
+                "bytes": os.path.getsize(f)}
+
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        parts = list(ex.map(_part, files))
+    total_rows = sum(p["rows"] for p in parts)
     manifest = {"stage": name, "wall_sec": round(wall, 3),
                 "total_rows": total_rows, "partitions": parts, "info": info}
     os.rename(tmp_dir, final_dir)
