@@ -21,9 +21,10 @@ Performance notes (measured via the lineage wall clocks):
   per stage at this state size.  Heavyweight per-language models would flip
   back to ``map_batches(Cls, concurrency=...)`` (the extractor classes are
   kept callable for exactly that).
-* Broadcast sides (alias index, union-find rep map, node-type map) are
-  ``ray.put`` once and memoized per worker (``functions.broadcast``); at
-  10^12-file scale the node-type map becomes a bucketed hash join instead.
+* Broadcast sides (alias index, union-find rep map) are vocabulary-bounded
+  and ``ray.put`` once, memoized per worker (``functions.broadcast``).  The
+  node-type side is NOT vocabulary-bounded (every defined code symbol is a
+  node), so triple typing is a bucketed hash join against the nodes table.
 * Every aggregation goes through ``functions.hashagg`` (polars combiners →
   bucket shuffle → vectorized finals) — Ray's native per-group aggregate
   and pandas object-dtype string groupbys were both measured order-of-
@@ -126,29 +127,32 @@ def triples_bucket(g: pd.DataFrame) -> pd.DataFrame:
     models/relationships.py:114-125) for ALL (s,p,o) keys in one hashagg
     bucket.  Input = partial rows keyed (s,p,o,unit): mention_count = sum of
     partial counts, passage_ids = sorted distinct units, confidence = max —
-    all via vectorized pandas groupbys (the unique-unit pass collapses
-    duplicate (s,p,o,unit) rows arriving from different batches first)."""
+    all via vectorized polars groupbys (the unique-unit pass collapses
+    duplicate (s,p,o,unit) rows arriving from different batches first).
+    Entity types are attached AFTER this aggregation by a hash join against
+    the nodes table (code-symbol nodes scale with the corpus — never a
+    driver broadcast)."""
     import polars as pl
     keys = ["subj_id", "pred", "obj_id"]
     d = pl.from_pandas(g)
     per_unit = (d.group_by(keys + ["unit_id"])
                 .agg(cnt=pl.col("cnt").sum(),
-                     confidence=pl.col("confidence").max(),
-                     subj_type=pl.col("subj_type").max(),
-                     obj_type=pl.col("obj_type").max())
+                     confidence=pl.col("confidence").max())
                 .sort(keys + ["unit_id"]))
     base = (per_unit.group_by(keys, maintain_order=True)
-            .agg(subj_type=pl.col("subj_type").max(),
-                 obj_type=pl.col("obj_type").max(),
-                 mention_count=pl.col("cnt").sum().cast(pl.Int64),
+            .agg(mention_count=pl.col("cnt").sum().cast(pl.Int64),
                  n_units=pl.len().cast(pl.Int64),
                  passage_ids=pl.col("unit_id"),   # sorted (per_unit sort)
                  confidence=pl.col("confidence").max()))
     out = base.rename({"subj_id": "subj", "obj_id": "obj"}).to_pandas()
-    out["passage_ids"] = out["passage_ids"].map(list)
+    # list columns are not joinable payloads in Acero — carry the sorted
+    # unit-id list as a joined string through the node-type hash joins and
+    # split it back in the finishing map
+    out["passage_ids_str"] = out["passage_ids"].map(
+        lambda ids: "\x1f".join(ids))
     out["confidence"] = out["confidence"].astype("float64")
-    return out[["subj", "pred", "obj", "subj_type", "obj_type",
-                "mention_count", "n_units", "passage_ids", "confidence"]]
+    return out[["subj", "pred", "obj", "mention_count", "n_units",
+                "passage_ids_str", "confidence"]]
 
 
 # bump when the on-disk stage layout changes — stale checkpoints from an
@@ -331,18 +335,10 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
 
     nodes_dir = lineage.run_stage(out_root, "nodes", write_nodes, force)
 
-    # node-type map for triple typing (vocabulary-sized → broadcast; at
-    # 10^12-file scale this becomes a bucketed hash join)
-    nodes_tbl = rd.read_parquet(
-        nodes_dir, columns=["entity_id", "entity_type"]).to_pandas()
-    type_ref = ray.put(dict(zip(nodes_tbl["entity_id"],
-                                nodes_tbl["entity_type"])))
-
     # ---- stage: triples (A1 merge: partial per-batch → groupby final) ----
     def resolve_triples_fn(batch: pd.DataFrame) -> pd.DataFrame:
         aidx = get_cached(alias_ref)
         rep_map = get_cached(rep_ref)
-        types = get_cached(type_ref)
 
         def rid(text: str, method: str) -> str:
             if method == "code":
@@ -364,22 +360,48 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
         # partial aggregation inside the batch (combiner before shuffle):
         # one row per (s,p,o,unit) — polars group_by (string keys are 20×
         # slower through pandas object dtype)
-        agg = (pl.from_pandas(batch[["subj_id", "pred", "obj_id", "unit_id",
-                                     "confidence"]])
-               .group_by(["subj_id", "pred", "obj_id", "unit_id"])
-               .agg(cnt=pl.len().cast(pl.Int64),
-                    confidence=pl.col("confidence").max())
-               .to_pandas())
-        agg["subj_type"] = agg["subj_id"].map(types).fillna("unknown")
-        agg["obj_type"] = agg["obj_id"].map(types).fillna("unknown")
-        return agg
+        return (pl.from_pandas(batch[["subj_id", "pred", "obj_id", "unit_id",
+                                      "confidence"]])
+                .group_by(["subj_id", "pred", "obj_id", "unit_id"])
+                .agg(cnt=pl.len().cast(pl.Int64),
+                     confidence=pl.col("confidence").max())
+                .to_pandas())
 
     def write_triples(tmp: str):
         partials = (read_extract_kind(extract_dir, extract.KIND_REL)
                     .map_batches(resolve_triples_fn, batch_format="pandas",
                                  batch_size=8192))
-        (hashagg.grouped_apply(partials, ["subj_id", "pred", "obj_id"],
-                               triples_bucket)
+        merged = hashagg.grouped_apply(partials,
+                                       ["subj_id", "pred", "obj_id"],
+                                       triples_bucket)
+        # entity typing via bucketed hash joins against the nodes table —
+        # code-symbol nodes scale WITH the corpus, so this side is a real
+        # join, not a driver-collected broadcast dict
+        nodes_s = rd.read_parquet(
+            nodes_dir, columns=["entity_id", "entity_type"]).map_batches(
+            lambda df: df.rename(columns={"entity_id": "subj",
+                                          "entity_type": "subj_type"}),
+            batch_format="pandas")
+        nodes_o = rd.read_parquet(
+            nodes_dir, columns=["entity_id", "entity_type"]).map_batches(
+            lambda df: df.rename(columns={"entity_id": "obj",
+                                          "entity_type": "obj_type"}),
+            batch_format="pandas")
+
+        def finish(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["subj_type"] = df["subj_type"].fillna("unknown")
+            df["obj_type"] = df["obj_type"].fillna("unknown")
+            df["passage_ids"] = df["passage_ids_str"].str.split("\x1f")
+            return df[["subj", "pred", "obj", "subj_type", "obj_type",
+                       "mention_count", "n_units", "passage_ids",
+                       "confidence"]]
+
+        (merged.join(nodes_s, join_type="left_outer", num_partitions=8,
+                     on=("subj",))
+         .join(nodes_o, join_type="left_outer", num_partitions=8,
+               on=("obj",))
+         .map_batches(finish, batch_format="pandas")
          .sort(["subj", "pred", "obj"])
          .write_parquet(tmp))
 

@@ -328,14 +328,27 @@ def q_dedup_exact(sf_dir: str):
         ["text_md5"], per_hash, partial)
 
 
-def _texts_ref(sf_dir: str):
-    """Broadcast {doc_id: text} once (ray.put) for pair verification."""
-    import ray
-    import pyarrow.parquet as pq_
-    tbl = pq_.read_table(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text"])
-    return ray.put(dict(zip(tbl["doc_id"].to_pylist(),
-                            tbl["text"].to_pylist())))
+def _verify_pairs_by_join(pairs, docs):
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs by
+    joining the texts back (candidates ≪ corpus) — never a whole-corpus
+    broadcast.  Shared by the jaccard and minhash near-dup paths."""
+    from raykg.ops import dedup as dd
+    ta = docs.map_batches(lambda df: df.rename(
+        columns={"doc_id": "doc_a", "text": "text_a"}), batch_format="pandas")
+    tb = docs.map_batches(lambda df: df.rename(
+        columns={"doc_id": "doc_b", "text": "text_b"}), batch_format="pandas")
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        j = [round(dd.jaccard_of_texts(a, b), 6)
+             for a, b in zip(df["text_a"], df["text_b"])]
+        out = df.assign(jaccard=j)[["doc_a", "doc_b", "jaccard"]]
+        return out[out["jaccard"] >= dd.JACCARD_THRESHOLD]
+
+    return (pairs.join(ta, join_type="inner", num_partitions=8,
+                       on=("doc_a",))
+            .join(tb, join_type="inner", num_partitions=8, on=("doc_b",))
+            .map_batches(verify, batch_format="pandas")
+            .select_columns(["doc_a", "doc_b", "jaccard"]))
 
 
 def q_dedup_jaccard_pairs(sf_dir: str):
@@ -382,43 +395,16 @@ def q_dedup_jaccard_pairs(sf_dir: str):
                 .rename(columns={"doc_id": "doc_a"})[["doc_a", "doc_b"]],
                 batch_format="pandas"))
     cand = hashagg.distinct(cand, ["doc_a", "doc_b"], coalesce=8)
-
-    # verify: join texts back (candidates ≪ corpus) → exact Jaccard
-    ta = docs.map_batches(lambda df: df.rename(
-        columns={"doc_id": "doc_a", "text": "text_a"}), batch_format="pandas")
-    tb = docs.map_batches(lambda df: df.rename(
-        columns={"doc_id": "doc_b", "text": "text_b"}), batch_format="pandas")
-
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        j = [round(dd.jaccard_of_texts(a, b), 6)
-             for a, b in zip(df["text_a"], df["text_b"])]
-        out = df.assign(jaccard=j)[["doc_a", "doc_b", "jaccard"]]
-        return out[out["jaccard"] >= dd.JACCARD_THRESHOLD]
-
-    return (cand.join(ta, join_type="inner", num_partitions=8,
-                      on=("doc_a",))
-            .join(tb, join_type="inner", num_partitions=8, on=("doc_b",))
-            .map_batches(verify, batch_format="pandas")
-            .select_columns(["doc_a", "doc_b", "jaccard"]))
+    return _verify_pairs_by_join(cand, docs)
 
 
 def q_dedup_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup (scale path; no SQL oracle — rows-only check).
-    Bands → bucket groupby → candidate pairs → dedupe → batched
-    exact-Jaccard verify against broadcast texts."""
+    Bands → bucket groupby → candidate pairs → dedupe → exact-Jaccard
+    verify by joining texts back onto the candidate pairs (the same
+    join-back shape as the jaccard path — no whole-corpus broadcast)."""
     from raykg.functions import hashagg
-    from raykg.functions.broadcast import get_cached
     from raykg.ops import dedup as dd
-    texts_ref = _texts_ref(sf_dir)
-
-    def verify_rows(df: pd.DataFrame) -> pd.DataFrame:
-        texts = get_cached(texts_ref)
-        j = [round(dd.jaccard_of_texts(texts[a], texts[b]), 6)
-             for a, b in zip(df["doc_a"], df["doc_b"])]
-        out = df.assign(jaccard=pd.Series(j, index=df.index,
-                                          dtype="float64"))
-        out = out[out["jaccard"] >= dd.JACCARD_THRESHOLD]
-        return out[["doc_a", "doc_b", "jaccard"]]
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         # per LSH bucket inside one hash bucket (pandas-level group loop)
@@ -433,8 +419,8 @@ def q_dedup_minhash_pairs(sf_dir: str):
                                          batch_format="pyarrow")
     pairs = hashagg.grouped_apply(bands, ["band_id", "band_hash"],
                                   bucket_pairs)
-    return (hashagg.distinct(pairs, ["doc_a", "doc_b"])
-            .map_batches(verify_rows, batch_format="pandas"))
+    return _verify_pairs_by_join(hashagg.distinct(pairs, ["doc_a", "doc_b"]),
+                                 _docs_ds(sf_dir))
 
 
 def q_simhash(sf_dir: str):
@@ -459,20 +445,18 @@ def q_embed_neardup(sf_dir: str):
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         vn = vecs / np.where(norms == 0, 1, norms)
         sims = vn @ vn.T
-        out_a, out_b, out_c = [], [], []
         from raykg.ops.dedup import COSINE_THRESHOLD
-        n = len(ids)
-        for i in range(n):
-            for j in range(i + 1, n):
-                c = round(float(sims[i, j]), sim.SIM_ROUND)
-                if c >= COSINE_THRESHOLD:
-                    a, b = sorted((int(ids[i]), int(ids[j])))
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_c.append(c)
-        return pd.DataFrame({"vec_a": pd.Series(out_a, dtype="int64"),
-                             "vec_b": pd.Series(out_b, dtype="int64"),
-                             "cosine": pd.Series(out_c, dtype="float64")})
+        # vectorized pair emission: upper triangle where rounded cosine
+        # clears the threshold (no Python pair loop)
+        r = np.round(sims, sim.SIM_ROUND)
+        ii, jj = np.nonzero(np.triu(r >= COSINE_THRESHOLD, k=1))
+        ai, bi = ids[ii], ids[jj]
+        lo = np.minimum(ai, bi)
+        hi = np.maximum(ai, bi)
+        return pd.DataFrame({"vec_a": pd.Series(lo, dtype="int64"),
+                             "vec_b": pd.Series(hi, dtype="int64"),
+                             "cosine": pd.Series(r[ii, jj],
+                                                 dtype="float64")})
 
     return ds.groupby("label").map_groups(block_pairs, batch_format="pandas")
 
@@ -483,12 +467,14 @@ def q_ann_topk(sf_dir: str):
     import ray
     import pyarrow.parquet as pq_
     from raykg.ops import similarity as sim
-    tbl = pq_.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                         columns=["vec_id", "embedding"])
     import numpy as np
-    mask = np.asarray(tbl["vec_id"].to_pylist()) < sim.N_QUERIES
-    q_ids = np.asarray(tbl["vec_id"].to_pylist())[mask]
-    q_vecs = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)[mask]
+    # row-group filter pushdown: only the N_QUERIES query rows leave
+    # storage — never a full-table driver read
+    tbl = pq_.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "<", sim.N_QUERIES)])
+    q_ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    q_vecs = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
     query_ref = ray.put((q_ids, q_vecs))
 
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
@@ -620,35 +606,37 @@ def q_kg_merge_candidates(sf_dir: str):
     """C2/C3 merge candidates: co-occurring entity pairs (count ≥ 2) with
     the reference's heuristic merge decision — same type required (unknown
     wildcard), then substring containment either way or "the X" ≡ "X"
-    (extract/dynamic_resolver.py:207-264)."""
-    import ray
-    from raykg.functions.broadcast import get_cached
+    (extract/dynamic_resolver.py:207-264).  Node attributes are attached by
+    hash joins (node count scales with the corpus — no driver broadcast)."""
     p = kg_paths(sf_dir)
-    nodes = rd.read_parquet(p["nodes"],
-                            columns=["entity_id", "canonical_name",
-                                     "entity_type"]).to_pandas()
-    info_ref = ray.put({r.entity_id: (r.canonical_name, r.entity_type)
-                        for r in nodes.itertuples()})
+
+    def side(suffix: str):
+        return rd.read_parquet(
+            p["nodes"], columns=["entity_id", "canonical_name",
+                                 "entity_type"]).map_batches(
+            lambda df, s=suffix: df.rename(columns={
+                "entity_id": f"entity_{s}", "canonical_name": f"name_{s}",
+                "entity_type": f"type_{s}"}), batch_format="pandas")
 
     def decide(df: pd.DataFrame) -> pd.DataFrame:
-        info = get_cached(info_ref)
-
-        def merge_ok(a: str, b: str) -> bool:
-            na, ta = info.get(a, (a, "unknown"))
-            nb, tb = info.get(b, (b, "unknown"))
-            if ta != tb and "unknown" not in (ta, tb):
-                return False
-            la, lb = na.lower(), nb.lower()
-            return (la in lb or lb in la
-                    or la.removeprefix("the ") == lb
-                    or lb.removeprefix("the ") == la)
-
         out = df.copy()
-        out["merge"] = [merge_ok(a, b) for a, b in
-                        zip(out["entity_a"], out["entity_b"])]
-        return out
+        na = out["name_a"].fillna(out["entity_a"]).str.lower()
+        nb = out["name_b"].fillna(out["entity_b"]).str.lower()
+        ta = out["type_a"].fillna("unknown")
+        tb = out["type_b"].fillna("unknown")
+        type_ok = (ta == tb) | (ta == "unknown") | (tb == "unknown")
+        name_ok = [
+            (a in b or b in a
+             or a.removeprefix("the ") == b or b.removeprefix("the ") == a)
+            for a, b in zip(na, nb)]
+        out["merge"] = type_ok & pd.Series(name_ok, index=out.index)
+        return out[["entity_a", "entity_b", "pair_count", "merge"]]
 
     return (q_kg_cooccurrence(sf_dir)
+            .join(side("a"), join_type="left_outer", num_partitions=8,
+                  on=("entity_a",))
+            .join(side("b"), join_type="left_outer", num_partitions=8,
+                  on=("entity_b",))
             .map_batches(decide, batch_format="pandas"))
 
 
@@ -714,22 +702,21 @@ def q_voice_distinctive(sf_dir: str):
         spans, ["speaker", "word"],
         lambda g: (g.groupby(["speaker", "word"], sort=False,
                              as_index=False)["cnt"].sum()),
-        words_partial).materialize()      # consumed twice (global + scored)
+        words_partial).materialize()      # consumed twice (totals + scored)
 
-    # global word usage (vocabulary-sized) broadcast back — the two-pass
-    # plan SURVEY §7.4 calls out
-    gw = counts.to_pandas()
-    totals = gw.groupby("word")["cnt"].sum()
-    total_ref = ray.put(totals.to_dict())
+    # global per-word usage joined BACK onto the per-speaker counts — the
+    # word vocabulary grows with the corpus, so this is a hash join, not a
+    # driver-collected broadcast dict.  The single grand-total scalar is
+    # the only driver-side aggregate.
+    word_totals = hashagg.sum_col(counts, ["word"], "cnt", name="word_total")
+    grand_total = max(1, int(counts.sum("cnt")))
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
-        tot = get_cached(total_ref)
         df = df.copy()
-        other = df.apply(lambda r: tot.get(r["word"], 0) - r["cnt"], axis=1)
+        other = df["word_total"] - df["cnt"]
         df["distinctiveness"] = (df["cnt"] /
-                                 (1.0 + other / max(1, sum(tot.values())))
-                                 ).round(9)
-        return df
+                                 (1.0 + other / grand_total)).round(9)
+        return df[["speaker", "word", "cnt", "distinctiveness"]]
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         return (g.sort_values(["speaker", "distinctiveness", "word"],
@@ -737,9 +724,10 @@ def q_voice_distinctive(sf_dir: str):
                               kind="mergesort")
                 .groupby("speaker", sort=False).head(5))
 
-    return hashagg.grouped_apply(
-        counts.map_batches(score, batch_format="pandas"),
-        ["speaker"], topk)
+    scored = (counts.join(word_totals, join_type="inner", num_partitions=8,
+                          on=("word",))
+              .map_batches(score, batch_format="pandas"))
+    return hashagg.grouped_apply(scored, ["speaker"], topk)
 
 
 def q_wb_passages(sf_dir: str):
@@ -1103,10 +1091,11 @@ def q_ann_lsh(sf_dir: str):
     from raykg.ops import similarity as sim
     import pyarrow.parquet as pq_
     path = os.path.join(sf_dir, "embeddings.parquet")
-    head = pq_.read_table(path, columns=["vec_id", "embedding"]).to_pandas()
-    qdf = head[head["vec_id"] < sim.N_QUERIES]
-    q_ids = qdf["vec_id"].to_numpy(dtype=np.int64)
-    qm = np.asarray(list(qdf["embedding"]), dtype=np.float64)
+    # filter pushdown: read ONLY the query rows (never the whole table)
+    qtbl = pq_.read_table(path, columns=["vec_id", "embedding"],
+                          filters=[("vec_id", "<", sim.N_QUERIES)])
+    q_ids = np.asarray(qtbl["vec_id"].to_pylist(), dtype=np.int64)
+    qm = np.asarray(qtbl["embedding"].to_pylist(), dtype=np.float64)
     dim = qm.shape[1]
     q_buckets = sim.lsh_signs(qm, dim)
     probes: dict[int, list[int]] = {}

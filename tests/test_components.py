@@ -52,13 +52,12 @@ def test_graph_assembly_merge():
     # partial rows keyed (s,p,o,unit) — u1 seen by two batches (dup row)
     g = pd.DataFrame({
         "subj_id": ["a"] * 4, "pred": ["MET"] * 4, "obj_id": ["b"] * 4,
-        "subj_type": ["character"] * 4, "obj_type": ["character"] * 4,
         "unit_id": ["u1", "u1", "u2", "u3"],
         "cnt": [1, 1, 1, 1], "confidence": [0.7, 0.9, 0.9, 0.8],
     })
     out = triples_bucket(g)
     assert out["mention_count"].iloc[0] == 4
-    assert out["passage_ids"].iloc[0] == ["u1", "u2", "u3"]
+    assert out["passage_ids_str"].iloc[0] == "u1\x1fu2\x1fu3"
     assert out["n_units"].iloc[0] == 3
     assert out["confidence"].iloc[0] == 0.9
 
