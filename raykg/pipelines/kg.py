@@ -157,7 +157,7 @@ def triples_bucket(g: pd.DataFrame) -> pd.DataFrame:
 
 # bump when the on-disk stage layout changes — stale checkpoints from an
 # older layout must not be resumed into
-PIPE_LAYOUT_VERSION = 3
+PIPE_LAYOUT_VERSION = 4
 
 
 def default_out_root(sf_dir: str) -> str:

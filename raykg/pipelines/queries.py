@@ -1149,13 +1149,22 @@ def _trim(e: str) -> str:
 
 def units_cte(corpus_path: str) -> str:
     """WITH-clause body producing ``units`` from the corpus parquet,
-    mirroring raykg.stages.split exactly (same regex constants)."""
-    abbrev = split.ABBREV_PATTERN
+    mirroring raykg.stages.split exactly (same regex constants —
+    reference-exact chapter families, case-insensitive abbreviation
+    protection with canonical-case substitution, renumbered non-empty
+    chapters, zero-padded unit ids)."""
     sent_b = split.SENT_BOUNDARY_PATTERN
     para = split.PARA_SPLIT_PATTERN
-    chap = "(?m)^" + split.CHAPTER_HEADER_PATTERN + "$"
-    ws_norm = _trim("regexp_replace(replace(sent_piece, chr(30), '.'), "
-                    "'" + "\\s+" + "', ' ', 'g')")
+    chap = "(?im)" + split.CHAPTER_HEADER_PATTERN
+    # reference order: normalize whitespace FIRST, then protect each
+    # abbreviation case-insensitively, substituting canonical case
+    sent_src = f"regexp_replace({_trim('para')}, '\\s+', ' ', 'g')"
+    for abbr in vocab.ABBREVIATIONS:
+        sent_src = (f"regexp_replace({sent_src}, '(?i)\\b{abbr}\\.', "
+                    f"'{abbr}' || chr(30), 'g')")
+    sent_src = (f"regexp_replace({sent_src}, '{sent_b}', "
+                "'\\1' || chr(31) || '\\2', 'g')")
+    ws_norm = _trim("replace(sent_piece, chr(30), '.')")
     return f"""
 corpus AS (
   SELECT repo, path, lang, content, sha256(content) AS doc_sha256
@@ -1174,9 +1183,8 @@ ch_raw AS (
 ),
 chapters AS (
   SELECT doc_sha256, repo, path, lang, piece,
-         CASE WHEN n_pieces = 1 THEN 1
-              WHEN ch_idx = 1 THEN 0
-              ELSE ch_idx - 1 END AS chapter_num
+         row_number() OVER (PARTITION BY doc_sha256
+                            ORDER BY ch_idx) AS chapter_num
   FROM ch_raw
   WHERE n_pieces = 1
      OR (ch_idx > 1 AND length({_trim('piece')}) > 0)
@@ -1198,12 +1206,7 @@ sent_raw AS (
   SELECT doc_sha256, repo, path, lang, chapter_num, paragraph_num,
          unnest(sents) AS sent_piece,
          unnest(range(1, len(sents)+1)) AS s_idx
-  FROM (SELECT *, string_split(
-          regexp_replace(
-            regexp_replace({_trim('para')}, '{abbrev}',
-                           '\\1' || chr(30), 'g'),
-            '{sent_b}', '\\1' || chr(31) || '\\2', 'g'),
-          chr(31)) AS sents
+  FROM (SELECT *, string_split({sent_src}, chr(31)) AS sents
         FROM paragraphs)
 ),
 sentences AS (
@@ -1234,36 +1237,69 @@ code_units AS (
   FROM code_raw WHERE length({_trim('block')}) > 0
 ),
 units AS (
-  SELECT *, substr(doc_sha256, 1, 12) || '_c' || chapter_num || '_p' ||
-            paragraph_num || '_s' || sentence_num AS unit_id
+  SELECT *, substr(doc_sha256, 1, 12)
+            || '_c' || lpad(CAST(chapter_num AS VARCHAR), 3, '0')
+            || '_p' || lpad(CAST(paragraph_num AS VARCHAR), 5, '0')
+            || '_s' || lpad(CAST(sentence_num AS VARCHAR), 3, '0')
+            AS unit_id
   FROM (SELECT * FROM prose_units UNION ALL SELECT * FROM code_units)
 )"""
 
 
 def mentions_cte() -> str:
-    """Extends units → prose ``mentions`` (one row per unit × surface)."""
+    """Extends units → prose ``mentions`` (one row per unit × surface ×
+    label): the reference pattern tier (title/epithet families, PERSON,
+    conf 0.9) plus capitalized tokens outside pattern matches (UNKNOWN,
+    conf 0.7).
+
+    The engine applies the reference's span-level overlap dedup
+    (ner.py:262-290); this SQL uses the position-free surface rule "a cap
+    token is suppressed iff it is a word of some pattern match in the same
+    unit", which is equivalent under the generator's guarantees (pattern
+    matches never overlap each other; a surface never occurs both inside
+    and outside a pattern match within one sentence unit)."""
     block = ", ".join(f"'{w}'" for w in vocab.CAP_BLOCKLIST)
+    pat_scans = "\n  UNION ALL\n".join(
+        f"""  SELECT unit_id, doc_sha256,
+         unnest(regexp_extract_all(text, '(?i){p}')) AS m
+  FROM units WHERE lang = 'txt'""" for p in vocab.NER_PATTERNS)
     return f"""
+pat_raw AS (
+{pat_scans}
+),
+pat_mentions AS (
+  SELECT unit_id, doc_sha256, m AS mention_text,
+         'PERSON' AS label, {extract.PATTERN_CONF} AS confidence,
+         count(*) AS n_occurrences
+  FROM pat_raw GROUP BY 1, 2, 3
+),
+pat_words AS (
+  SELECT DISTINCT unit_id, unnest(string_split(m, ' ')) AS w FROM pat_raw
+),
 tok_raw AS (
   SELECT unit_id, doc_sha256,
          unnest(regexp_extract_all(text, '{extract.CAP_TOKEN_PATTERN}')) AS tok
   FROM units WHERE lang = 'txt'
 ),
-title_names AS (
-  SELECT DISTINCT unit_id,
-         unnest(regexp_extract_all(text, '{extract.TITLE_NAME_PATTERN}', 1)) AS name
-  FROM units WHERE lang = 'txt'
-),
-mentions AS (
+cap_mentions AS (
   SELECT t.unit_id, t.doc_sha256, t.tok AS mention_text,
-         CASE WHEN tn.name IS NOT NULL THEN 'PERSON' ELSE 'UNKNOWN' END AS label,
-         CASE WHEN tn.name IS NOT NULL THEN {extract.TITLE_CONF} ELSE {extract.MENTION_CONF} END AS confidence,
+         'UNKNOWN' AS label, {extract.MENTION_CONF} AS confidence,
          count(*) AS n_occurrences
   FROM tok_raw t
-  LEFT JOIN title_names tn ON tn.unit_id = t.unit_id AND tn.name = t.tok
-  WHERE t.tok NOT IN ({block})
-  GROUP BY 1, 2, 3, 4, 5
+  LEFT JOIN pat_words pw ON pw.unit_id = t.unit_id AND pw.w = t.tok
+  WHERE pw.w IS NULL AND t.tok NOT IN ({block})
+  GROUP BY 1, 2, 3
+),
+mentions AS (
+  SELECT * FROM pat_mentions UNION ALL SELECT * FROM cap_mentions
 )"""
+
+
+def _slug(e: str) -> str:
+    """SQL mirror of textnorm.slugify (lower, ws→_, strip non-word)."""
+    return ("regexp_replace(replace(" +
+            f"regexp_replace(trim(lower({e})), '\\s+', ' ', 'g'), " +
+            "' ', '_'), '[^a-z0-9_]', '', 'g')")
 
 
 def resolution_cte(alias_path: str) -> str:
@@ -1283,8 +1319,8 @@ apair_raw AS (
   FROM units WHERE lang = 'txt'
 ),
 apair_ids AS (
-  SELECT coalesce(ka.entity_id, lower(a)) AS ua,
-         coalesce(kb.entity_id, lower(b)) AS ub
+  SELECT coalesce(ka.entity_id, {_slug('a')}) AS ua,
+         coalesce(kb.entity_id, {_slug('b')}) AS ub
   FROM apair_raw
   LEFT JOIN alias_keys ka ON ka.k = lower(a)
   LEFT JOIN alias_keys kb ON kb.k = lower(b)
@@ -1310,13 +1346,15 @@ uf_rep AS (
 ),
 resolved AS (
   SELECT m.*,
-         coalesce(r.rep, coalesce(ak.entity_id, lower(m.mention_text))) AS entity_id,
+         coalesce(r.rep, coalesce(ak.entity_id,
+                                  {_slug('m.mention_text')})) AS entity_id,
          ak.entity_id IS NOT NULL AS known,
          ak.entity_type AS known_type,
          ak.canonical_name AS known_name
   FROM mentions m
   LEFT JOIN alias_keys ak ON ak.k = lower(m.mention_text)
-  LEFT JOIN uf_rep r ON r.node = coalesce(ak.entity_id, lower(m.mention_text))
+  LEFT JOIN uf_rep r ON r.node = coalesce(ak.entity_id,
+                                          {_slug('m.mention_text')})
 )"""
 
 
@@ -1621,8 +1659,12 @@ LEFT JOIN type_map tt ON tt.entity_id = ar.obj
 GROUP BY 1, 2, 3, 4, 5"""
 
     UM = unit_metrics_cte()
-    span_pat = ('"([^"]{2,})"' + r"\s*(" + "|".join(vocab.SPEECH_VERBS) +
-                r")\s+([A-Z][a-z]+)")
+    # tier-1 SQL contract: quote immediately followed by [,.]? + speech
+    # verb + 1-2 word Name — mirrors dialogue._T1_RE on the after-context
+    # (IGNORECASE, reference voice/dialogue.py:238-245)
+    span_pat = ('(?i)"([^"]+)"[,.]?' + r"\s*(" +
+                "|".join(vocab.SPEECH_VERBS) +
+                r")\s+([A-Z][a-z]+(?:\s+[A-Z][a-z]+)?)")
     spans_cte = f"""
 spans AS (
   SELECT unit_id,

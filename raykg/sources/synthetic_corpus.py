@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 from raykg import vocab
 from raykg.functions.textnorm import sha256_hex, slugify
 
-GEN_VERSION = 7
+GEN_VERSION = 8
 CACHE_ROOT = "/tmp/raykg_data"
 
 # ---------------------------------------------------------------- name pools
@@ -42,7 +42,7 @@ _CHAR_SUF = ["dric", "mor", "wyn", "dan", "ric", "dor", "mir", "grim",
              "thas", "bard"]
 _ALIAS_PRE = ["Storm", "Oak", "Iron", "Raven", "Thorn", "Ash", "Frost",
               "Ember", "Night", "Dawn", "Swift", "Stone", "Wolf", "Hawk",
-              "Grim", "True", "Wild", "Keen", "Bright", "Shadow"]
+              "Grim", "True", "Wild", "Keen", "Bright", "Pine"]
 _ALIAS_SUF = ["crow", "shield", "fist", "cloak", "born", "song", "ward",
               "blade", "step", "heart"]
 _PLACE_PRE = ["Mire", "Karth", "Vael", "Dun", "Esk", "Fal", "Gor", "Hav",
@@ -117,10 +117,25 @@ def build_entity_pools() -> dict:
             if i + 1 < len(unknowns):
                 unknown_forms.append([unknowns[i + 1]])
 
+    # C7 conflict source: a few unknown names are tied to SEED characters
+    # by alias statements emitted in every prose file (deterministic, so
+    # the union-find merge is guaranteed).  The merged node then carries
+    # both 'unknown' (new-mention) and 'character' (seed) observations —
+    # the type-conflict the reference records (corpus/resolver.py:328-339).
+    unknown_seed_aliases: list[tuple[str, str]] = []   # (unknown, seed name)
+    unknown_seed_map: dict[str, str] = {}              # unknown → seed id
+    singles = [f[0] for f in unknown_forms if len(f) == 1]
+    for j in (1, 5, 9):
+        un, seed = singles[j], chars[(j * 13) % len(chars)]
+        unknown_seed_aliases.append((un, seed))
+        unknown_seed_map[un] = slugify(seed)
+
     return {
         "chars": chars, "char_forms": char_forms, "places": places,
         "objects": objects, "unknown_forms": unknown_forms,
         "unknown_alias_pairs": unknown_alias_pairs, "alias_rows": alias_rows,
+        "unknown_seed_aliases": unknown_seed_aliases,
+        "unknown_seed_map": unknown_seed_map,
     }
 
 
@@ -165,7 +180,11 @@ class _FileGen:
             # be sampled into this corpus.
             forms = self.pools["unknown_forms"][
                 self.rng.choice(len(self.pools["unknown_forms"]), p=self._pu)]
-            return forms[0], slugify(forms[0])
+            # conflict unknowns resolve (via the guaranteed alias
+            # statement + union-find) to their seed character
+            cid = self.pools["unknown_seed_map"].get(
+                forms[0], slugify(forms[0]))
+            return forms[0], cid
         forms = self.pools["char_forms"][
             self.rng.choice(len(self.pools["char_forms"]), p=self._pc)]
         surface = forms[0] if (len(forms) == 1 or self.rng.rand() < 0.7) else forms[1]
@@ -287,12 +306,21 @@ class _FileGen:
         paras: list[str] = []
         n_paras = int(self.rng.randint(12, 21))
         chapter = 0
+        # guaranteed conflict alias statements (every file → every corpus
+        # sample merges these unknowns into their seed characters)
+        lore = " ".join(f"{u}, also known as {s}, rested awhile."
+                        for u, s in self.pools["unknown_seed_aliases"])
         for p in range(n_paras):
             if p % 6 == 0:
                 chapter += 1
-                paras.append(f"Chapter {chapter}")
+                # the reference header regex's trailing ``\s*.*`` consumes
+                # the line after the header — give it a sacrificial line
+                # with no extractable content so no truth is lost
+                paras.append(f"Chapter {chapter}\n"
+                             "the watch turned at dusk and none spoke")
             n_sent = int(self.rng.randint(3, 7))
             paras.append(" ".join(self.sentence() for _ in range(n_sent)))
+        paras.append(lore)
         return "\n\n".join(paras) + "\n"
 
     def code_content(self, modname: str) -> str:

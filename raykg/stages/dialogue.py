@@ -1,14 +1,22 @@
-"""Dialogue branch: quoted-span extraction + speaker attribution.
+"""Dialogue branch: quoted-span extraction + speaker attribution —
+reference-EXACT regex tiers (parity vs the reference code run in-process
+on real prose is pinned by tests/test_ref_parity.py).
 
-Transposed reference semantics:
+Reference semantics (``voice/dialogue.py``):
 
-* span extraction   — ``voice/dialogue.py:124-218`` (M11): quoted spans
-  (straight quotes; >1 char), ordered by position, classified
-  question/exclamation/statement.
-* speaker attribution — ``voice/dialogue.py:221-316`` (M12) 4-tier
-  heuristic: (1) ``"..." said NAME`` conf 0.9; (2) ``NAME said "..."``
-  conf 0.9; (3) speech verb + Name anywhere after the quote, conf 0.7;
-  (4) nearest capitalized non-blocklist token, conf 0.4; else UNKNOWN.
+* span extraction   — ``voice/dialogue.py:148-170`` (M11): straight AND
+  curly double-quoted spans (the two patterns the reference actually
+  scans), stripped, >1 char, merged and ordered by position.
+* context windows   — ``voice/dialogue.py:176-181``: 100 chars either
+  side, stripped; tier-4 looks at only 30 chars.
+* speaker attribution — ``voice/dialogue.py:221-316`` (M12) 4 tiers:
+  (1) ``"..."[,.] VERB Name [Name]`` in after-context, IGNORECASE,
+  conf 0.9; (2) ``Name [Name] VERB[,.]$`` in before-context, IGNORECASE,
+  conf 0.9; (3) ``VERB Name`` anywhere in after-context, conf 0.7;
+  (4) first capitalized non-blocklist token in after[:30] conf 0.4, else
+  last in before[-30:] conf 0.3 (tier recorded as 5); else UNKNOWN.
+  IGNORECASE admits lowercase "speakers" like "the hobbit" in tiers 1-3 —
+  deliberate reference behavior.
 * voice profile     — ``voice/profile.py:65-208`` (A12): per-speaker
   aggregates, speakers with ≥ ``MIN_LINES`` lines
   (``voice/analyzer.py:147-150`` min_lines_for_profile=3).
@@ -23,36 +31,61 @@ import pyarrow as pa
 
 from raykg import vocab
 
-QUOTE_PATTERN = r'"([^"]{2,})"'
+# straight + curly double quotes — the two patterns the reference scans
+# (voice/dialogue.py:148-153, quote_patterns[:2])
+QUOTE_PATTERNS: tuple[str, ...] = (r'"([^"]+)"', "“([^”]+)”")
 MIN_LINES = 3
+CONTEXT_CHARS = 100        # voice/dialogue.py:176-177
+TIER4_WINDOW = 30          # voice/dialogue.py:299,308
 
-_QUOTE_RE = re.compile(QUOTE_PATTERN)
-_SPEECH = "|".join(vocab.SPEECH_VERBS)
-_AFTER_RE = re.compile(r"^\s*(" + _SPEECH + r")\s+([A-Z][a-z]+)\b")
-_BEFORE_RE = re.compile(r"\b([A-Z][a-z]+)\s+(" + _SPEECH + r")[,:]?\s*$")
-_ANY_VERB_NAME_RE = re.compile(r"\b(" + _SPEECH + r")\s+([A-Z][a-z]+)\b")
-_CAP_RE = re.compile(r"\b[A-Z][a-z]+\b")
-_BLOCK = frozenset(vocab.CAP_BLOCKLIST)
+_QUOTE_RES = tuple(re.compile(p) for p in QUOTE_PATTERNS)
+_SPEECH = "|".join(vocab.SPEECH_VERBS)     # longest-first, deterministic
+_T1_RE = re.compile(r"^[,.]?\s*(" + _SPEECH +
+                    r")\s+([A-Z][a-z]+(?:\s+[A-Z][a-z]+)?)", re.IGNORECASE)
+_T2_RE = re.compile(r"([A-Z][a-z]+(?:\s+[A-Z][a-z]+)?)\s+(" + _SPEECH +
+                    r")[,.]?\s*$", re.IGNORECASE)
+_T3_RE = re.compile(r"(" + _SPEECH + r")\s+([A-Z][a-z]+)", re.IGNORECASE)
+_NAME_RE = re.compile(r"\b([A-Z][a-z]+)\b")
+_NON_NAMES = vocab.DIALOGUE_NON_NAMES
+
+
+def extract_quotes(text: str) -> list[tuple[str, int, int]]:
+    """All straight+curly double-quoted spans, stripped, len > 1, merged
+    and sorted by start (voice/dialogue.py:155-170)."""
+    quotes = []
+    for rx in _QUOTE_RES:
+        for m in rx.finditer(text):
+            qt = m.group(1).strip()
+            if len(qt) > 1:
+                quotes.append((qt, m.start(), m.end()))
+    quotes.sort(key=lambda q: q[1])
+    return quotes
 
 
 def attribute_speaker(text: str, start: int, end: int
                       ) -> tuple[str, str, float, int]:
-    """Returns (speaker, speech_verb, confidence, tier)."""
-    after = text[end:]
-    before = text[:start]
-    m = _AFTER_RE.match(after)
+    """Reference _attribute_speaker (voice/dialogue.py:221-316).
+    Returns (speaker, speech_verb, confidence, tier); tier 5 = the
+    before-context half of the reference's tier 4."""
+    before = text[max(0, start - CONTEXT_CHARS): start].strip()
+    after = text[end: end + CONTEXT_CHARS].strip()
+    m = _T1_RE.search(after)
     if m:
-        return m.group(2), m.group(1), 0.9, 1
-    m = _BEFORE_RE.search(before)
+        return m.group(2), m.group(1).lower(), 0.9, 1
+    m = _T2_RE.search(before)
     if m:
-        return m.group(1), m.group(2), 0.9, 2
-    m = _ANY_VERB_NAME_RE.search(after)
+        return m.group(1), m.group(2).lower(), 0.9, 2
+    m = _T3_RE.search(after)
     if m:
-        return m.group(2), m.group(1), 0.7, 3
-    names = [t for t in _CAP_RE.findall(after) + _CAP_RE.findall(before)
-             if t not in _BLOCK]
-    if names:
-        return names[0], "", 0.4, 4
+        return m.group(2), m.group(1).lower(), 0.7, 3
+    after_names = [n for n in _NAME_RE.findall(after[:TIER4_WINDOW])
+                   if n.lower() not in _NON_NAMES and len(n) > 1]
+    if after_names:
+        return after_names[0], "", 0.4, 4
+    before_names = [n for n in _NAME_RE.findall(before[-TIER4_WINDOW:])
+                    if n.lower() not in _NON_NAMES and len(n) > 1]
+    if before_names:
+        return before_names[-1], "", 0.3, 5
     return "UNKNOWN", "", 0.0, 0
 
 
@@ -67,10 +100,8 @@ def spans_batch(t: pa.Table) -> pa.Table:
                                     t["doc_sha256"].to_pylist(),
                                     t["repo"].to_pylist(),
                                     t["text"].to_pylist()):
-        for pos, m in enumerate(_QUOTE_RE.finditer(text)):
-            content = m.group(1)
-            speaker, verb, conf, tier = attribute_speaker(
-                text, m.start(), m.end())
+        for pos, (content, start, end) in enumerate(extract_quotes(text)):
+            speaker, verb, conf, tier = attribute_speaker(text, start, end)
             out["unit_id"].append(uid)
             out["doc_sha256"].append(sha)
             out["repo"].append(repo)

@@ -4,11 +4,16 @@ over raw corpus rows.
 
 Transposed reference semantics:
 
-* proper-noun mention detection — capitalized-token pass with blocklist
-  (the deterministic analog of spaCy PROPN fallback, ``extract/ner.py:137-156``)
-  plus title patterns (``extract/ner.py:34-44``, conf 0.9).  One mention row
-  per (unit, surface form) with an occurrence count (the reference counts a
-  mention per passage sighting, ``graph/writer.py:121-127``).
+* proper-noun mention detection — the reference's PATTERN TIER byte-for-
+  byte (title + epithet families, ``extract/ner.py:34-44``, IGNORECASE,
+  conf 0.9, label PERSON; parity vs the reference code pinned by
+  tests/test_ref_parity.py) plus a capitalized-token pass with blocklist
+  (the deterministic analog of the spaCy PROPN fallback,
+  ``extract/ner.py:137-156``, conf 0.7), overlap-deduped with the
+  reference's exact algorithm (``extract/ner.py:262-290``).  One mention
+  row per (unit, surface form, label) with an occurrence count (the
+  reference counts a mention per passage sighting,
+  ``graph/writer.py:121-127``).
 * regex SVO relation extraction — the deterministic analog of the dependency
   path (``extract/relationships.py:161-234``) using the closed verb-phrase map
   (``vocab.VERB_PHRASE_TO_PRED``); within-unit dedup keeps max confidence
@@ -38,7 +43,6 @@ from raykg.functions.textnorm import norm_key, slugify
 
 # --- shared pattern constants (mirrored in oracle SQL) ---
 CAP_TOKEN_PATTERN = r"\b[A-Z][a-z]+\b"
-TITLE_NAME_PATTERN = r"\b(?:" + "|".join(vocab.TITLES) + r")\s+([A-Z][a-z]+)\b"
 VERB_ALTERNATION = "|".join(re.escape(v) for v in vocab.VERB_PHRASES_ORDERED)
 SVO_PATTERN = (r"\b([A-Z][a-z]+) (" + VERB_ALTERNATION +
                r") (?:the )?([A-Z][a-z]+)\b")
@@ -47,7 +51,7 @@ ERA_YEAR_PATTERN = (r"\bIn the (" + "|".join(vocab.ERAS) +
                     r") Age, year (\d+)\b")
 
 MENTION_CONF = 0.7          # PROPN-fallback confidence (ner.py:156)
-TITLE_CONF = 0.9            # title-pattern confidence (ner.py:160-177)
+PATTERN_CONF = 0.9          # pattern-tier confidence (ner.py:175)
 REL_CONF = 0.7              # pattern-method confidence (relationships.py:234)
 EVENT_CONF = 0.6            # pattern event confidence (events.py:621-646)
 CODE_CONF = 0.9
@@ -79,31 +83,48 @@ _OUT_SCHEMA = pa.schema([
 
 
 def dedup_overlapping_spans(spans: list[tuple[int, int, float, str, str]]):
-    """Overlap dedup (reference extract/ner.py:262-290): sort by
-    (start, -confidence); greedily accept; an overlapping later span replaces
-    an accepted one iff strictly higher confidence AND >= length.
+    """Overlap dedup — EXACT reference algorithm (extract/ner.py:262-290):
+    sort by (start, -confidence) (stable → insertion order breaks ties);
+    greedily accept non-overlapping spans; a span overlapping an accepted
+    one replaces it iff strictly higher confidence AND text length >= the
+    accepted text's length (remove + append, matching the reference's
+    list mutation order); finally sort by start.
 
-    spans: (start, end, confidence, text, label); returns kept spans sorted
-    by start.
+    spans: (start, end, confidence, text, label); returns kept spans.
     """
     ordered = sorted(spans, key=lambda s: (s[0], -s[2]))
     kept: list[tuple[int, int, float, str, str]] = []
     for sp in ordered:
-        replaced = False
-        overlap_idx = None
-        for i, k in enumerate(kept):
-            if sp[0] < k[1] and k[0] < sp[1]:      # overlap
-                overlap_idx = i
+        overlaps = False
+        for k in kept:
+            if not (sp[1] <= k[0] or sp[0] >= k[1]):   # overlap
+                overlaps = True
+                if sp[2] > k[2] and len(sp[3]) >= len(k[3]):
+                    kept.remove(k)
+                    kept.append(sp)
                 break
-        if overlap_idx is None:
+        if not overlaps:
             kept.append(sp)
-        else:
-            k = kept[overlap_idx]
-            if sp[2] > k[2] and (sp[1] - sp[0]) >= (k[1] - k[0]):
-                kept[overlap_idx] = sp
-                replaced = True
-        _ = replaced
     return sorted(kept, key=lambda s: s[0])
+
+
+def pattern_entities(text: str, ner_res=None):
+    """Reference pattern-tier NER (extract/ner.py:160-178): every match of
+    the title/epithet families (IGNORECASE, in _compile_patterns order) as
+    a PERSON span at conf 0.9, surface = full match.  Returns
+    (start, end, conf, text, label) spans in emission order — callers run
+    :func:`dedup_overlapping_spans` over them (+ other tiers)."""
+    if ner_res is None:
+        ner_res = _NER_RES
+    spans = []
+    for rx in ner_res:
+        for m in rx.finditer(text):
+            spans.append((m.start(), m.end(), PATTERN_CONF, m.group(0),
+                          "PERSON"))
+    return spans
+
+
+_NER_RES = tuple(re.compile(p, re.IGNORECASE) for p in vocab.NER_PATTERNS)
 
 
 class UnitExtractor:
@@ -111,7 +132,8 @@ class UnitExtractor:
 
     def __init__(self):
         self.cap_re = re.compile(CAP_TOKEN_PATTERN)
-        self.title_re = re.compile(TITLE_NAME_PATTERN)
+        self.ner_res = tuple(re.compile(p, re.IGNORECASE)
+                             for p in vocab.NER_PATTERNS)
         self.svo_re = re.compile(SVO_PATTERN)
         self.alias_re = re.compile(ALIAS_STMT_PATTERN)
         self.era_re = re.compile(ERA_YEAR_PATTERN)
@@ -127,20 +149,23 @@ class UnitExtractor:
                          obj, label, conf, method, start, end, n_occ, era,
                          year))
 
-        # mentions: one row per (unit, surface form)
-        title_names = set(self.title_re.findall(text))
-        occ: dict[str, list[tuple[int, int]]] = {}
+        # mentions: pattern tier (ner.py:160-178) + capitalized-token tier
+        # (the deterministic PROPN-fallback analog, conf 0.7), overlap-
+        # deduped with the reference's exact algorithm (ner.py:262-290) —
+        # a cap token inside a kept pattern span is suppressed for that
+        # occurrence.  One output row per (unit, surface, label).
+        spans = pattern_entities(text, self.ner_res)
         for m in self.cap_re.finditer(text):
             tok = m.group(0)
             if tok in self.blocklist:
                 continue
-            occ.setdefault(tok, []).append(m.span())
-        for tok, spans in occ.items():
-            is_person = tok in title_names
-            emit(KIND_MENTION, tok,
-                 label="PERSON" if is_person else "UNKNOWN",
-                 conf=TITLE_CONF if is_person else MENTION_CONF,
-                 start=spans[0][0], end=spans[0][1], n_occ=len(spans))
+            spans.append((m.start(), m.end(), MENTION_CONF, tok, "UNKNOWN"))
+        occ: dict[tuple[str, str, float], list[tuple[int, int]]] = {}
+        for s, e, conf, txt, label in dedup_overlapping_spans(spans):
+            occ.setdefault((txt, label, conf), []).append((s, e))
+        for (txt, label, conf), sps in occ.items():
+            emit(KIND_MENTION, txt, label=label, conf=conf,
+                 start=sps[0][0], end=sps[0][1], n_occ=len(sps))
 
         # candidate relations (within-unit dedup = max conf per key; all
         # pattern confs are equal so dedup == distinct)
@@ -234,7 +259,8 @@ class CodeExtractor:
 
         def emit(kind, unit_block, subj, pred=None, obj=None, label=None,
                  conf=CODE_CONF, n_occ=1):
-            uid = f"{sha[:12]}_c1_p{unit_block}_s1"
+            from raykg.stages.split import unit_id_of
+            uid = unit_id_of(sha, 1, unit_block, 1)
             rows.append((kind, uid, sha, repo, path, "py", subj, pred, obj,
                          label, conf, "code", -1, -1, n_occ, None, None))
 

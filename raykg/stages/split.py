@@ -2,13 +2,19 @@
 
 Transposes ``ingest/splitter.py`` (reference):
 
-* chapter detection  — ``split_into_chapters``  (splitter.py:81-124)
+* chapter detection  — ``split_into_chapters``  (splitter.py:81-124):
+  EXACT reference semantics — all four header families, IGNORECASE,
+  non-empty-body keep + sequential renumbering, >100-char preamble →
+  "Prologue" first.  Parity vs the reference code run in-process on real
+  prose is pinned by tests/test_ref_parity.py.
 * paragraph split    — ``split_into_paragraphs`` (splitter.py:127-136)
 * sentence split     — ``split_into_sentences`` (splitter.py:139-170):
-  protect abbreviations, split after ``[.!?]`` before a capital/quote,
-  normalize whitespace.
+  normalize whitespace, protect the reference's abbreviation set
+  case-insensitively (canonical-case substitution — reference behavior),
+  split after ``[.!?]`` before a capital/quote.
 * stable unit ids    — ``generate_passage_id`` (splitter.py:173-178), made
-  parallel-safe: ``{sha256(content)[:12]}_c{ch}_p{par}_s{sent}``.
+  parallel-safe + order-stable:
+  ``{sha256(content)[:12]}_c{ch:03d}_p{par:05d}_s{sent:03d}``.
 
 Code files (``lang != 'txt'``) split into top-level blocks (blank-line
 separated), one unit per block — the file→top-level-decl transposition the
@@ -30,27 +36,41 @@ from raykg.functions.textnorm import normalize_ws, sha256_hex
 MAX_SENTENCE_LEN = 1000          # reference config.py:38-39 (F1 filter)
 
 # Shared pattern constants (mirrored in oracle SQL — keep in sync!)
-ABBREV_PATTERN = r"\b(" + "|".join(vocab.ABBREVIATIONS) + r")\."
 SENT_BOUNDARY_PATTERN = r'([.!?])\s+(["A-Z])'
 PARA_SPLIT_PATTERN = r"\n\s*\n+"
-CHAPTER_HEADER_PATTERN = r"(?:Chapter|CHAPTER|Part)\s+(?:\d+|[IVXLCDM]+)\b.*"
+# EXACT reference chapter alternation (splitter.py:88-97): four families
+# joined, MULTILINE | IGNORECASE.
+CHAPTER_HEADER_PATTERN = "|".join(
+    f"({p})" for p in vocab.CHAPTER_PATTERNS)
 
 DOT_SENTINEL = "\x1e"
 SPL_SENTINEL = "\x1f"
 
-_ABBREV_RE = re.compile(ABBREV_PATTERN)
+# one compiled matcher per abbreviation — the reference substitutes the
+# CANONICAL casing back (splitter.py:155-156), so each needs its own
+# replacement string.  The reference leaves "i.e"/"e.g" dots unescaped
+# (``.`` = any char); we reproduce that byte-for-byte.
+_ABBREV_RES: tuple[tuple[re.Pattern, str], ...] = tuple(
+    (re.compile(rf"\b{abbr}\.", re.IGNORECASE), abbr + DOT_SENTINEL)
+    for abbr in vocab.ABBREVIATIONS)
 _SENT_RE = re.compile(SENT_BOUNDARY_PATTERN)
 _PARA_RE = re.compile(PARA_SPLIT_PATTERN)
-_CHAPTER_RE = re.compile(r"^" + CHAPTER_HEADER_PATTERN + r"$", re.MULTILINE)
+_CHAPTER_RE = re.compile(CHAPTER_HEADER_PATTERN,
+                         re.MULTILINE | re.IGNORECASE)
 
 
 def split_sentences(text: str) -> list[str]:
-    """Sentence split with abbreviation protection (splitter.py:139-170)."""
-    t = _ABBREV_RE.sub(r"\1" + DOT_SENTINEL, text)
+    """Sentence split with abbreviation protection (splitter.py:139-170):
+    normalize whitespace, protect abbreviations case-insensitively
+    (substituting canonical case — reference behavior), split after
+    ``[.!?]`` before a capital or straight double quote."""
+    t = normalize_ws(text)
+    for rx, repl in _ABBREV_RES:
+        t = rx.sub(repl, t)
     t = _SENT_RE.sub(r"\1" + SPL_SENTINEL + r"\2", t)
     out = []
     for s in t.split(SPL_SENTINEL):
-        s = normalize_ws(s.replace(DOT_SENTINEL, "."))
+        s = s.replace(DOT_SENTINEL, ".").strip()
         if s and len(s) <= MAX_SENTENCE_LEN:
             out.append(s)
     return out
@@ -62,23 +82,27 @@ def split_paragraphs(text: str) -> list[str]:
 
 
 def split_chapters(text: str) -> list[tuple[int, str, str]]:
-    """Chapter detection (splitter.py:81-124): returns (num, title, body).
-
-    Preamble before the first header becomes chapter 0 ("Prologue") when
-    longer than 100 chars; no headers → single chapter 1.
-    """
+    """Chapter detection — EXACT reference semantics (splitter.py:81-124):
+    non-empty chapter bodies keep their order; a >100-char preamble is
+    inserted first as "Prologue"; numbering is sequential over the KEPT
+    chapters starting at 1 (splitter.py:48); no headers (or nothing kept)
+    → the whole text is chapter 1."""
     matches = list(_CHAPTER_RE.finditer(text))
     if not matches:
         return [(1, "Chapter 1", text)]
-    chapters: list[tuple[int, str, str]] = []
-    pre = text[: matches[0].start()].strip()
-    if len(pre) > 100:
-        chapters.append((0, "Prologue", pre))
+    kept: list[tuple[str, str]] = []
     for i, m in enumerate(matches):
         end = matches[i + 1].start() if i + 1 < len(matches) else len(text)
         body = text[m.end(): end].strip()
-        chapters.append((i + 1, normalize_ws(m.group(0)), body))
-    return chapters
+        if body:
+            kept.append((m.group(0).strip(), body))
+    if matches[0].start() > 0:
+        pre = text[: matches[0].start()].strip()
+        if pre and len(pre) > 100:
+            kept.insert(0, ("Prologue", pre))
+    if not kept:
+        return [(1, "Chapter 1", text)]
+    return [(i + 1, t, b) for i, (t, b) in enumerate(kept)]
 
 
 def split_doc(content: str, lang: str) -> list[tuple[int, int, int, int, str]]:
@@ -104,7 +128,9 @@ def split_doc(content: str, lang: str) -> list[tuple[int, int, int, int, str]]:
 
 
 def unit_id_of(doc_sha: str, ch: int, par: int, sent: int) -> str:
-    return f"{doc_sha[:12]}_c{ch}_p{par}_s{sent}"
+    """Stable unit id, zero-padded so lexicographic order == document
+    order (min(unit_id) = first sighting; '_p00002_' < '_p00010_')."""
+    return f"{doc_sha[:12]}_c{ch:03d}_p{par:05d}_s{sent:03d}"
 
 
 def split_units_batch(batch: pa.Table) -> pa.Table:

@@ -99,21 +99,110 @@ CAP_BLOCKLIST: tuple[str, ...] = (
     "Mr", "Mrs", "Dr", "St", "Prof",
 ) + TITLES
 
-# --- Sentence-splitter protected abbreviations (ingest/splitter.py:139-170) ---
+# --- Sentence-splitter protected abbreviations (ingest/splitter.py:148-152).
+# EXACT reference set, matched case-insensitively; the reference substitutes
+# the canonical casing back ("MR." → "Mr.") — a deliberate behavioral match.
 ABBREVIATIONS: tuple[str, ...] = (
-    "Mr", "Mrs", "Ms", "Dr", "St", "Prof", "Sr", "Jr", "vs", "etc", "No",
-    "Gen", "Col", "Capt", "Lt", "Sgt", "Rev",
+    "Mr", "Mrs", "Ms", "Dr", "Prof", "Sr", "Jr", "vs", "etc",
+    "i.e", "e.g", "cf", "al", "St", "Mt", "Ft",
 )
+
+# --- Chapter header families (ingest/splitter.py:88-94) — EXACT reference
+# pattern strings, applied MULTILINE | IGNORECASE as one alternation.  Note
+# the reference quirks these patterns carry (and parity tests pin): the
+# trailing ``\s*.*`` lets a header consume the following line across a
+# blank line, and IGNORECASE admits lowercase "chapter iv" headers.
+CHAPTER_PATTERNS: tuple[str, ...] = (
+    r"^(Chapter\s+[IVXLC\d]+[:\.]?\s*.*)$",
+    r"^(CHAPTER\s+[IVXLC\d]+[:\.]?\s*.*)$",
+    r"^(\d+\.\s+.+)$",
+    r"^(Part\s+[IVXLC\d]+[:\.]?\s*.*)$",
+)
+
+# --- Pattern-tier NER families (extract/ner.py:34-44) — EXACT reference
+# constants (titles + epithets), matched IGNORECASE, label PERSON, conf 0.9.
+NER_TITLE_PATTERNS: tuple[str, ...] = (
+    r"\b(King|Queen|Lord|Lady|Prince|Princess|Chief|Captain|Steward)\s+(?:of\s+)?([A-Z][a-z]+(?:\s+[A-Z][a-z]+)*)",
+    r"\b(the\s+)?(Grey|White|Dark|Black|High|Great)\s+(Wizard|King|Lord|Lady|Enemy|Rider)",
+)
+NER_EPITHET_PATTERNS: tuple[str, ...] = (
+    r"\b(the\s+)?(Ring-?bearer|Halfling|Perian|Dwarf-friend|Elf-friend)",
+    r"\b(the\s+)?(Necromancer|Enemy|Dark Lord|Shadow)",
+    r"\b(Gandalf|Saruman|Radagast)\s+(the\s+)?(Grey|White|Brown)",
+)
+NER_PATTERNS: tuple[str, ...] = NER_TITLE_PATTERNS + NER_EPITHET_PATTERNS
 
 # --- Eras (reference lore/temporal.py:17-64 — total order) ---
 ERAS: tuple[str, ...] = ("First", "Second", "Third", "Fourth")
 ERA_ORDER: dict[str, int] = {e: i for i, e in enumerate(ERAS)}
 
-# --- Speech verbs for dialogue attribution (voice/dialogue.py:16-76 analog subset) ---
-SPEECH_VERBS: tuple[str, ...] = (
-    "said", "asked", "replied", "answered", "shouted", "whispered", "cried",
-    "called", "muttered", "exclaimed", "declared", "observed", "remarked",
-)
+# --- Speech verbs for dialogue attribution (voice/dialogue.py:16-76) —
+# EXACT reference vocabulary.  The reference keeps these in a set and joins
+# them into a regex alternation in arbitrary set order; alternation order
+# is behavior-neutral there (regex backtracking resolves prefix overlaps
+# like call/called), so we store them longest-first for determinism.
+SPEECH_VERBS: tuple[str, ...] = tuple(sorted({
+    "said", "says", "say", "saying",
+    "asked", "asks", "ask", "asking",
+    "replied", "replies", "reply", "replying",
+    "answered", "answers", "answer", "answering",
+    "whispered", "whispers", "whisper",
+    "shouted", "shouts", "shout",
+    "cried", "cries", "cry",
+    "called", "calls", "call",
+    "yelled", "yells", "yell",
+    "screamed", "screams", "scream",
+    "muttered", "mutters", "mutter",
+    "murmured", "murmurs", "murmur",
+    "growled", "growls", "growl",
+    "hissed", "hisses", "hiss",
+    "snarled", "snarls", "snarl",
+    "snapped", "snaps", "snap",
+    "groaned", "groans", "groan",
+    "moaned", "moans", "moan",
+    "sighed", "sighs", "sigh",
+    "laughed", "laughs", "laugh",
+    "chuckled", "chuckles", "chuckle",
+    "giggled", "giggles", "giggle",
+    "sobbed", "sobs", "sob",
+    "wailed", "wails", "wail",
+    "declared", "declares", "declare",
+    "announced", "announces", "announce",
+    "proclaimed", "proclaims", "proclaim",
+    "exclaimed", "exclaims", "exclaim",
+    "stated", "states", "state",
+    "inquired", "inquires", "inquire",
+    "queried", "queries", "query",
+    "demanded", "demands", "demand",
+    "wondered", "wonders", "wonder",
+    "begged", "begs", "beg",
+    "pleaded", "pleads", "plead",
+    "urged", "urges", "urge",
+    "insisted", "insists", "insist",
+    "suggested", "suggests", "suggest",
+    "proposed", "proposes", "propose",
+    "explained", "explains", "explain",
+    "told", "tells", "tell",
+    "informed", "informs", "inform",
+    "added", "adds", "add",
+    "continued", "continues", "continue",
+    "went on",
+    "spake", "quoth", "cried out",
+}, key=lambda v: (-len(v), v)))
+
+# --- Tier-4 attribution non-name blocklist (voice/dialogue.py:280-296) —
+# EXACT reference set.
+DIALOGUE_NON_NAMES: frozenset[str] = frozenset({
+    "he", "she", "it", "they", "we", "i", "you",
+    "him", "her", "them", "us", "me",
+    "the", "a", "an", "this", "that", "these", "those",
+    "but", "and", "or", "then", "so", "yet", "for",
+    "to", "from", "with", "at", "by", "in", "on", "of", "after", "before",
+    "there", "here", "where", "when", "what", "how", "why",
+    "now", "just", "still", "even", "also",
+    "one", "all", "some", "any", "no", "not", "only",
+    "old", "young", "little", "other", "first", "last",
+})
 
 # --- Code-domain predicate vocabulary (north-star transposition) ---
 CODE_PREDICATES: tuple[str, ...] = ("IMPORTS", "IMPORTS_FROM", "DEFINES", "CALLS", "ALIASES")

@@ -41,11 +41,18 @@ def test_mention_basic_and_count():
 
 
 def test_title_pattern_person():
-    # reference ner.py:34-44 title patterns → PERSON conf 0.9
+    # reference ner.py:34-44 pattern tier: the WHOLE title match is the
+    # PERSON mention (conf 0.9); the name token inside it is suppressed by
+    # the overlap dedup (ner.py:262-290)
+    # NOTE the reference quirk this pins: IGNORECASE makes the name group
+    # ``[A-Z][a-z]+`` match lowercase words, so the match greedily extends
+    # through following words until punctuation (same behavior observed on
+    # real prose: "king under the mountain again").
     out = extract.UnitExtractor()(_unit_batch(["King Aldric rode on."]))
     m = _rows(out, "mention").set_index("subj")
-    assert m.loc["Aldric", "label"] == "PERSON"
-    assert m.loc["Aldric", "confidence"] == extract.TITLE_CONF
+    assert m.loc["King Aldric rode on", "label"] == "PERSON"
+    assert m.loc["King Aldric rode on", "confidence"] == extract.PATTERN_CONF
+    assert "Aldric" not in m.index
 
 
 def test_svo_predicates():

@@ -37,10 +37,23 @@ def test_paragraph_split():
 
 
 def test_chapter_arabic_and_roman():
-    text = "Chapter 1\n\nfirst body.\n\nChapter II\n\nsecond body."
+    # reference header regex quirk: ``\s*.*`` lets a header consume the
+    # following line, so each chapter needs a sacrificial line
+    text = ("Chapter 1\neaten line\n\nfirst body.\n\n"
+            "Chapter II\neaten line\n\nsecond body.")
     chs = split.split_chapters(text)
     assert [c[0] for c in chs] == [1, 2]
     assert chs[0][2].strip() == "first body."
+    assert chs[1][2].strip() == "second body."
+
+
+def test_chapter_header_eats_next_line():
+    # pinned reference behavior: single-paragraph chapters whose body sits
+    # on the line after the header are consumed entirely -> whole text
+    # falls back to one chapter (splitter.py:121-124)
+    text = "Chapter 1\n\nonly body."
+    chs = split.split_chapters(text)
+    assert chs == [(1, "Chapter 1", text)]
 
 
 def test_chapter_fallback_single():
@@ -50,16 +63,17 @@ def test_chapter_fallback_single():
 
 def test_prologue_preamble():
     pre = "x" * 150
-    text = pre + "\n\nChapter 1\n\nbody."
+    text = pre + "\n\nChapter 1\nsacrificial\n\nbody."
     chs = split.split_chapters(text)
-    assert chs[0][0] == 0 and chs[0][1] == "Prologue"
-    assert chs[1][0] == 1
+    # reference numbering: Prologue is chapter 1, first real chapter 2
+    assert chs[0][0] == 1 and chs[0][1] == "Prologue"
+    assert chs[1][0] == 2 and chs[1][2].strip() == "body."
 
 
 def test_unit_ordering_monotone():
     # reference tests/test_splitter.py:92-107 — ordering invariant
-    text = ("Chapter 1\n\nA one. B two.\n\nC three.\n\n"
-            "Chapter 2\n\nD four. E five.")
+    text = ("Chapter 1\nsac\n\nA one. B two.\n\nC three.\n\n"
+            "Chapter 2\nsac\n\nD four. E five.")
     units = split.split_doc(text, "txt")
     keys = [(c, p, s) for c, p, s, _, _ in units]
     assert keys == sorted(keys)
@@ -78,7 +92,10 @@ def test_code_blocks():
 
 def test_unit_id_shape():
     uid = split.unit_id_of("a" * 64, 1, 2, 3)
-    assert uid == "aaaaaaaaaaaa_c1_p2_s3"
+    assert uid == "aaaaaaaaaaaa_c001_p00002_s003"
+    # zero-padding keeps lexicographic order == document order
+    assert split.unit_id_of("a" * 64, 1, 2, 3) < split.unit_id_of(
+        "a" * 64, 1, 10, 1)
 
 
 def test_max_sentence_length_filter():
