@@ -229,8 +229,11 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
     def pairs_to_edges(t: pa.Table) -> pa.Table:
         us, vs = [], []
         for x, y in zip(t["subj"].to_pylist(), t["obj"].to_pylist()):
-            us.append(link.resolve_key(link.norm_key(x), alias_index)[0])
-            vs.append(link.resolve_key(link.norm_key(y), alias_index)[0])
+            fz = link.fuzzy_index_for(alias_index)
+            us.append(link.resolve_key(link.norm_key(x), alias_index,
+                                       fz)[0])
+            vs.append(link.resolve_key(link.norm_key(y), alias_index,
+                                       fz)[0])
         return pa.table({"u": pa.array(us, pa.string()),
                          "v": pa.array(vs, pa.string())})
 
@@ -343,7 +346,8 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
         def rid(text: str, method: str) -> str:
             if method == "code":
                 return text
-            eid = link.resolve_key(link.norm_key(text), aidx)[0]
+            eid = link.resolve_key(link.norm_key(text), aidx,
+                                   link.fuzzy_index_for(aidx))[0]
             return rep_map.get(eid, eid)
 
         import polars as pl

@@ -961,41 +961,31 @@ def q_kg_corpus_stats(sf_dir: str):
 
 
 def q_kg_fuzzy_links(sf_dir: str):
-    """J2 fuzzy link scoring as a distributed broadcast join (rows-only):
-    deterministic misspelled probes (middle char dropped from each alias
-    name) resolved against the alias table via a per-worker 3-gram
-    inverted index + Indel-ratio verification ≥ 85
-    (extract/resolver.py:91-106; the MinHash/Jaccard candidate generation
-    the north star names for stage 2).  The alias side is broadcast once —
-    the probe table never shuffles."""
-    import ray
-    from raykg.functions.broadcast import get_cached
-    from raykg.stages import link as lk
-    data_dir = sc.corpus_dir(sf_dir)
-    alias_index = lk.load_alias_index(
-        os.path.join(data_dir, "alias_table.parquet"))
-    alias_ref = ray.put(alias_index)
+    """J2 fuzzy links that actually fired in the flagship pipeline: every
+    distinct (surface → entity) resolution that went through the
+    Indel-ratio ≥ 85 tier (extract/resolver.py:91-106), now WIRED into
+    ResolveMentions / triple resolution (round-2 item 3).  Fuzzy rows are
+    the non-new links whose confidence is neither exact (1.0) nor
+    article-strip (0.95) — fuzzy scores are (2n−2)/(2n−1), never exactly
+    0.95.  Fully SQL-oracled via the single-deletion rule the generator
+    guarantees equivalent."""
+    p = kg_paths(sf_dir)
+    ds = rd.read_parquet(p["mentions"],
+                         columns=["mention_text", "entity_id", "lang",
+                                  "link_confidence", "is_new"])
 
-    probes = sorted({name[: len(name) // 2] + name[len(name) // 2 + 1:]
-                     for (_eid, _t, name) in alias_index.values()
-                     if len(name) >= 5 and " " not in name})
-    ds = rd.from_pandas(pd.DataFrame({"probe": probes})).repartition(4)
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        m = ((df["lang"] == "txt") & ~df["is_new"]
+             & (df["link_confidence"] >= 0.85)
+             & (df["link_confidence"] != 0.95)
+             & (df["link_confidence"] != 1.0))
+        out = df[m].copy()
+        out["score"] = out["link_confidence"].round(6)
+        return out[["mention_text", "entity_id", "score"]]
 
-    def match(df: pd.DataFrame) -> pd.DataFrame:
-        aidx = get_cached(alias_ref)
-        keys = sorted(aidx)
-        got = lk.fuzzy_candidates([p.lower() for p in df["probe"]], keys)
-        by_probe = {p: (k, s) for p, k, s in got}
-        rows = []
-        for p in df["probe"]:
-            hit = by_probe.get(p.lower())
-            if hit is not None:
-                k, s = hit
-                rows.append((p, k, aidx[k][0], round(s, 3)))
-        return pd.DataFrame(rows, columns=["probe", "matched_key",
-                                           "entity_id", "score"])
-
-    return ds.map_batches(match, batch_format="pandas")
+    from raykg.functions import hashagg
+    return hashagg.distinct(ds.map_batches(pick, batch_format="pandas"),
+                            ["mention_text", "entity_id", "score"])
 
 
 def q_lore_check(sf_dir: str):
@@ -1236,7 +1226,7 @@ code_units AS (
          1 AS sentence_num, {_trim('block')} AS text
   FROM code_raw WHERE length({_trim('block')}) > 0
 ),
-units AS (
+units AS MATERIALIZED (
   SELECT *, substr(doc_sha256, 1, 12)
             || '_c' || lpad(CAST(chapter_num AS VARCHAR), 3, '0')
             || '_p' || lpad(CAST(paragraph_num AS VARCHAR), 5, '0')
@@ -1267,7 +1257,7 @@ def mentions_cte() -> str:
 pat_raw AS (
 {pat_scans}
 ),
-pat_mentions AS (
+pat_mentions AS MATERIALIZED (
   SELECT unit_id, doc_sha256, m AS mention_text,
          'PERSON' AS label, {extract.PATTERN_CONF} AS confidence,
          count(*) AS n_occurrences
@@ -1281,7 +1271,7 @@ tok_raw AS (
          unnest(regexp_extract_all(text, '{extract.CAP_TOKEN_PATTERN}')) AS tok
   FROM units WHERE lang = 'txt'
 ),
-cap_mentions AS (
+cap_mentions AS MATERIALIZED (
   SELECT t.unit_id, t.doc_sha256, t.tok AS mention_text,
          'UNKNOWN' AS label, {extract.MENTION_CONF} AS confidence,
          count(*) AS n_occurrences
@@ -1290,7 +1280,7 @@ cap_mentions AS (
   WHERE pw.w IS NULL AND t.tok NOT IN ({block})
   GROUP BY 1, 2, 3
 ),
-mentions AS (
+mentions AS MATERIALIZED (
   SELECT * FROM pat_mentions UNION ALL SELECT * FROM cap_mentions
 )"""
 
@@ -1303,8 +1293,15 @@ def _slug(e: str) -> str:
 
 
 def resolution_cte(alias_path: str) -> str:
-    """alias-table resolution + alias-statement union-find closure
-    (2-round min propagation; exact for star-shaped components)."""
+    """alias-table resolution (exact → fuzzy ≥ 85 → new-slug ladder,
+    extract/resolver.py:72-106) + alias-statement union-find closure
+    (2-round min propagation; exact for star-shaped components).
+
+    The fuzzy tier in SQL uses the single-deletion rule
+    (levenshtein == 1, len(m) == len(k)−1, Indel ratio (2n−2)/(2n−1) ≥
+    0.85) — equivalent to the engine's exact Indel scan on this corpus by
+    the generator's `_assert_fuzzy_guarantees` construction."""
+    fuzzy_score = "(2.0*length(fk.k) - 2) / (2.0*length(fk.k) - 1)"
     return f"""
 alias_keys AS (
   SELECT entity_id, entity_type, canonical_name, lower(canonical_name) AS k
@@ -1313,17 +1310,29 @@ alias_keys AS (
   SELECT entity_id, entity_type, canonical_name, lower(unnest(aliases)) AS k
   FROM read_parquet('{alias_path}')
 ),
+fuzzy_hits AS MATERIALIZED (
+  SELECT mk.m_key, fk.entity_id, fk.entity_type, fk.canonical_name,
+         {fuzzy_score} AS score
+  FROM (SELECT DISTINCT lower(mention_text) AS m_key FROM mentions
+        WHERE lower(mention_text) NOT IN (SELECT k FROM alias_keys)) mk
+  JOIN alias_keys fk
+    ON length(mk.m_key) = length(fk.k) - 1
+   AND levenshtein(mk.m_key, fk.k) = 1
+   AND {fuzzy_score} >= 0.85
+),
 apair_raw AS (
   SELECT unnest(regexp_extract_all(text, '{extract.ALIAS_STMT_PATTERN}', 1)) AS a,
          unnest(regexp_extract_all(text, '{extract.ALIAS_STMT_PATTERN}', 2)) AS b
   FROM units WHERE lang = 'txt'
 ),
 apair_ids AS (
-  SELECT coalesce(ka.entity_id, {_slug('a')}) AS ua,
-         coalesce(kb.entity_id, {_slug('b')}) AS ub
+  SELECT coalesce(ka.entity_id, fa.entity_id, {_slug('a')}) AS ua,
+         coalesce(kb.entity_id, fb.entity_id, {_slug('b')}) AS ub
   FROM apair_raw
   LEFT JOIN alias_keys ka ON ka.k = lower(a)
   LEFT JOIN alias_keys kb ON kb.k = lower(b)
+  LEFT JOIN fuzzy_hits fa ON fa.m_key = lower(a)
+  LEFT JOIN fuzzy_hits fb ON fb.m_key = lower(b)
 ),
 uf_edges AS (
   SELECT DISTINCT least(ua, ub) AS u, greatest(ua, ub) AS v
@@ -1337,23 +1346,25 @@ uf_nbr AS (
 uf_r1 AS (
   SELECT node, least(node, min(nbr)) AS rep FROM uf_nbr GROUP BY node
 ),
-uf_rep AS (
+uf_rep AS MATERIALIZED (
   SELECT nb.node, least(min(rs.rep), min(rn.rep)) AS rep
   FROM uf_nbr nb
   JOIN uf_r1 rs ON rs.node = nb.node
   JOIN uf_r1 rn ON rn.node = nb.nbr
   GROUP BY nb.node
 ),
-resolved AS (
+resolved AS MATERIALIZED (
   SELECT m.*,
-         coalesce(r.rep, coalesce(ak.entity_id,
-                                  {_slug('m.mention_text')})) AS entity_id,
-         ak.entity_id IS NOT NULL AS known,
-         ak.entity_type AS known_type,
-         ak.canonical_name AS known_name
+         coalesce(r.rep, ak.entity_id, fz.entity_id,
+                  {_slug('m.mention_text')}) AS entity_id,
+         (ak.entity_id IS NOT NULL OR fz.entity_id IS NOT NULL) AS known,
+         coalesce(ak.entity_type, fz.entity_type) AS known_type,
+         coalesce(ak.canonical_name, fz.canonical_name) AS known_name,
+         fz.score AS fuzzy_score
   FROM mentions m
   LEFT JOIN alias_keys ak ON ak.k = lower(m.mention_text)
-  LEFT JOIN uf_rep r ON r.node = coalesce(ak.entity_id,
+  LEFT JOIN fuzzy_hits fz ON fz.m_key = lower(m.mention_text)
+  LEFT JOIN uf_rep r ON r.node = coalesce(ak.entity_id, fz.entity_id,
                                           {_slug('m.mention_text')})
 )"""
 
@@ -1489,7 +1500,7 @@ calls_dotted AS (
          unnest(regexp_extract_all(c.content, '(?m)^\\s+(\\w+)\\.(\\w+)\\(\\)', 2)) AS fn
   FROM corpus c WHERE c.lang <> 'txt'
 ),
-calls_resolved AS (
+calls_resolved AS MATERIALIZED (
   SELECT cd.path,
          coalesce(i.target, cd.qual) || '.' || cd.fn AS sym
   FROM calls_dotted cd
@@ -1503,7 +1514,7 @@ calls_bare AS (
   FROM corpus c JOIN modname mn ON mn.path = c.path
   WHERE c.lang <> 'txt'
 ),
-calls_bare_resolved AS (
+calls_bare_resolved AS MATERIALIZED (
   SELECT cb.path,
          CASE WHEN d.sym IS NOT NULL THEN cb.module || '.' || cb.fn
               ELSE cb.fn END AS sym
@@ -1511,7 +1522,7 @@ calls_bare_resolved AS (
   LEFT JOIN (SELECT DISTINCT path, sym FROM defs) d
     ON d.path = cb.path AND d.sym = cb.module || '.' || cb.fn
 ),
-code_mentions AS (
+code_mentions AS MATERIALIZED (
   SELECT target AS entity_id, 'MODULE' AS label, path FROM imp
   UNION ALL
   SELECT module AS entity_id, 'MODULE' AS label, path FROM modname
@@ -2112,6 +2123,12 @@ FROM n GROUP BY 2
 UNION ALL
 SELECT 'edge', pred, CAST(count(*) AS BIGINT) FROM t GROUP BY 2"""
 
+    if name == "kg_fuzzy_links":
+        return (f"WITH {U},{M},{R} "
+                "SELECT DISTINCT mention_text, entity_id, "
+                "round(fuzzy_score, 6) AS score "
+                "FROM resolved WHERE fuzzy_score IS NOT NULL")
+
     if name == "kg_type_conflicts":
         prose = ", ".join(f"'{t}'" for t in PROSE_TYPES)
         return (f"WITH {U},{M},{R},{nodes_sql} "
@@ -2276,4 +2293,4 @@ QUERY_FNS = {
 }
 
 # queries with no SQL-expressible oracle → driver records rows-only check
-NO_ORACLE = frozenset({"dedup_minhash_pairs", "simhash", "lore_check", "ann_lsh", "kg_fuzzy_links"})
+NO_ORACLE = frozenset({"dedup_minhash_pairs", "simhash", "lore_check", "ann_lsh"})

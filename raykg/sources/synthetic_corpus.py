@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 from raykg import vocab
 from raykg.functions.textnorm import sha256_hex, slugify
 
-GEN_VERSION = 8
+GEN_VERSION = 9
 CACHE_ROOT = "/tmp/raykg_data"
 
 # ---------------------------------------------------------------- name pools
@@ -130,13 +130,61 @@ def build_entity_pools() -> dict:
         unknown_seed_aliases.append((un, seed))
         unknown_seed_map[un] = slugify(seed)
 
+    # J2 fuzzy ground truth: misspelled surfaces (middle char dropped) for
+    # every 4th character — the engine must resolve them to the seed via
+    # the Indel-ratio ≥ 85 tier.  Generation-time assertions guarantee the
+    # engine rule (exact Indel over all alias keys) and the SQL-oracle rule
+    # (unique single-deletion neighbor) agree on this corpus.
+    char_typos: dict[str, str] = {}
+    for i, name in enumerate(chars):
+        if i % 4 == 2 and len(name) >= 7:
+            mid = len(name) // 2
+            char_typos[name] = name[:mid] + name[mid + 1:]
+    _assert_fuzzy_guarantees(alias_rows, char_typos, unknown_forms)
+
     return {
         "chars": chars, "char_forms": char_forms, "places": places,
         "objects": objects, "unknown_forms": unknown_forms,
         "unknown_alias_pairs": unknown_alias_pairs, "alias_rows": alias_rows,
         "unknown_seed_aliases": unknown_seed_aliases,
         "unknown_seed_map": unknown_seed_map,
+        "char_typos": char_typos,
     }
+
+
+def _is_one_deletion(short: str, long: str) -> bool:
+    """True iff ``short`` == ``long`` minus exactly one char."""
+    if len(short) != len(long) - 1:
+        return False
+    i = 0
+    while i < len(short) and short[i] == long[i]:
+        i += 1
+    return short[i:] == long[i + 1:]
+
+
+def _assert_fuzzy_guarantees(alias_rows, char_typos, unknown_forms) -> None:
+    """Enforce at generation time that the fuzzy tier's behavior on this
+    corpus is exactly the planned typo→seed links — under BOTH the
+    engine's rule (max Indel ratio ≥ 85 over all alias keys) and the SQL
+    oracle's rule (unique single-deletion neighbor)."""
+    from raykg.functions.textnorm import fuzzy_ratio, norm_key
+    keys = set()
+    for _eid, name, aliases, _t in alias_rows:
+        keys.add(norm_key(name))
+        for a in aliases:
+            keys.add(norm_key(a))
+    for intended, typo in char_typos.items():
+        tk, ik = norm_key(typo), norm_key(intended)
+        assert tk not in keys, (typo, "collides with an alias key")
+        above = sorted((k for k in keys if fuzzy_ratio(tk, k) >= 85.0))
+        assert above == [ik], (typo, above)
+        dels = sorted(k for k in keys if _is_one_deletion(tk, k))
+        assert dels == [ik], (typo, dels)
+    for forms in unknown_forms:
+        for u in forms:
+            uk = norm_key(u)
+            assert all(fuzzy_ratio(uk, k) < 85.0 for k in keys), u
+            assert not any(_is_one_deletion(uk, k) for k in keys), u
 
 
 # Verb-phrase categories: subject is always a character.
@@ -187,6 +235,11 @@ class _FileGen:
             return forms[0], cid
         forms = self.pools["char_forms"][
             self.rng.choice(len(self.pools["char_forms"]), p=self._pc)]
+        typo = self.pools["char_typos"].get(forms[0])
+        if typo is not None and self.rng.rand() < 0.12:
+            # misspelled sighting — the engine's fuzzy tier (Indel ≥ 85)
+            # must resolve it back to the seed entity
+            return typo, slugify(forms[0])
         surface = forms[0] if (len(forms) == 1 or self.rng.rand() < 0.7) else forms[1]
         return surface, slugify(forms[0])
 

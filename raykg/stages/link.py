@@ -49,9 +49,59 @@ def load_alias_index(alias_table_path: str) -> dict[str, tuple[str, str, str]]:
     return index
 
 
-def resolve_key(key: str, alias_index: dict[str, tuple[str, str, str]]
+class FuzzyIndex:
+    """J2 scale path for the reference's fuzzy tier
+    (``extract/resolver.py:91-106``: ``process.extractOne(key, aliases,
+    scorer=fuzz.ratio)`` ≥ 85): a character-3-gram inverted index over the
+    alias keys generates candidates; survivors are verified with the exact
+    Indel ratio (== rapidfuzz ``fuzz.ratio``).  Built once per actor /
+    worker from the broadcast alias index — never per batch."""
+
+    def __init__(self, alias_index: dict[str, tuple[str, str, str]],
+                 threshold: float = None, ngram: int = 3):
+        self.threshold = FUZZY_THRESHOLD if threshold is None else threshold
+        self.ngram = ngram
+        self.keys = sorted(alias_index)
+        self.inv: dict[str, list[int]] = defaultdict(list)
+        for j, k in enumerate(self.keys):
+            for sh in char_ngrams(k, ngram):
+                self.inv[sh].append(j)
+
+    def best(self, key: str) -> tuple[str, float] | None:
+        """Best alias key with Indel ratio ≥ threshold, or None.  Ties
+        break by (score desc, key asc) — deterministic, unlike the
+        reference's dict-iteration-order extractOne."""
+        cand: set[int] = set()
+        for sh in char_ngrams(key, self.ngram):
+            cand.update(self.inv.get(sh, ()))
+        best: tuple[float, str] | None = None
+        for j in sorted(cand):
+            score = fuzzy_ratio(key, self.keys[j])
+            if score >= self.threshold and (
+                    best is None or score > best[0]):
+                best = (score, self.keys[j])
+        return (best[1], best[0]) if best is not None else None
+
+
+_FUZZY_CACHE: dict[int, FuzzyIndex] = {}
+
+
+def fuzzy_index_for(alias_index: dict) -> FuzzyIndex:
+    """Per-process memoized FuzzyIndex keyed by the alias dict identity
+    (the broadcast object is fetched once per worker, so id() is stable)."""
+    fi = _FUZZY_CACHE.get(id(alias_index))
+    if fi is None:
+        fi = FuzzyIndex(alias_index)
+        _FUZZY_CACHE[id(alias_index)] = fi
+    return fi
+
+
+def resolve_key(key: str, alias_index: dict[str, tuple[str, str, str]],
+                fuzzy: FuzzyIndex | None = None
                 ) -> tuple[str, str, float, bool, str | None]:
-    """Resolve a normalized key: returns
+    """Resolve a normalized key — the reference's full lookup ladder
+    (``extract/resolver.py:72-106``): exact → article-strip → fuzzy ≥ 85
+    (conf = score/100) → new entity with deterministic slug.  Returns
     (entity_id, entity_type, confidence, is_new, canonical_name|None)."""
     hit = alias_index.get(key)
     if hit is not None:
@@ -61,6 +111,11 @@ def resolve_key(key: str, alias_index: dict[str, tuple[str, str, str]]
         hit = alias_index.get(stripped)
         if hit is not None:
             return hit[0], hit[1], 0.95, False, hit[2]
+    if fuzzy is not None:
+        m = fuzzy.best(key)
+        if m is not None:
+            hit = alias_index[m[0]]
+            return hit[0], hit[1], m[1] / 100.0, False, hit[2]
     return slugify(key), "unknown", 0.7, True, None
 
 
@@ -86,7 +141,8 @@ class ResolveMentions:
         got = self._cache.get(text)
         if got is None:
             eid, etype, conf, is_new, canon = resolve_key(
-                norm_key(text), self.alias_index)
+                norm_key(text), self.alias_index,
+                fuzzy_index_for(self.alias_index))
             got = (eid, etype, conf, is_new, canon if canon else text)
             self._cache[text] = got
         # per-ROW typing for unknowns: a PERSON-labelled sighting is a

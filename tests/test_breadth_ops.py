@@ -135,19 +135,17 @@ def test_ann_lsh_shape(ray_session):
 
 
 def test_fuzzy_links_recover_dropped_char(ray_session):
-    # J2: every middle-char-dropped probe must fuzzy-resolve back to the
-    # entity whose name generated it (score ≥ 85, broadcast 3-gram join)
+    # J2 wired: every typo surface the generator planted resolves to its
+    # seed entity through the fuzzy tier (score in [0.85, 1.0) and the
+    # surface is one deletion away from the seed name)
     from raykg.pipelines import queries as Q
     from raykg.sources import synthetic_corpus as sc
-    from raykg.stages import link as lk
-    import os
     sf = "/root/testdata/sf0.001"
     out = Q.q_kg_fuzzy_links(sf).to_pandas()
-    aidx = lk.load_alias_index(
-        os.path.join(sc.corpus_dir(sf), "alias_table.parquet"))
-    assert len(out) > 50
-    assert (out["score"] >= 85).all()
-    for _, r in out.head(20).iterrows():
-        # the matched key must be an edit-distance-1 parent of the probe
-        assert r["probe"].lower() != r["matched_key"]
-        assert len(r["matched_key"]) == len(r["probe"]) + 1
+    pools = sc.build_entity_pools()
+    typo_to_seed = {t.lower(): sc.slugify(n)
+                    for n, t in pools["char_typos"].items()}
+    assert len(out) >= 1
+    for _, r in out.iterrows():
+        assert 0.85 <= r["score"] < 1.0
+        assert typo_to_seed[r["mention_text"].lower()] == r["entity_id"]

@@ -171,3 +171,24 @@ def test_code_extractor():
     assert ("m1.run_1", "CALLS", "core.load") in rels
     assert ("m1.run_1", "CALLS", "proto.send") in rels   # alias resolved
     assert ("m1.run_2", "CALLS", "m1.run_1") in rels     # local def call
+
+
+def test_fuzzy_tier_wired_into_resolution():
+    # round-2 item 3: misspelled surfaces resolve to seed entities via the
+    # Indel >= 85 tier (extract/resolver.py:91-106), not to new slugs
+    from raykg.stages.link import FuzzyIndex, resolve_key
+    idx = {"gandalf": ("gandalf", "character", "Gandalf"),
+           "mithrandir": ("gandalf", "character", "Gandalf"),
+           "keldric": ("keldric", "character", "Keldric")}
+    fz = FuzzyIndex(idx)
+    eid, etype, conf, is_new, canon = resolve_key("kelric", idx, fz)
+    assert (eid, etype, is_new, canon) == ("keldric", "character", False,
+                                           "Keldric")
+    assert 0.85 <= conf < 1.0
+    # far-off surface still becomes a new entity
+    eid, _t, _c, is_new, _n = resolve_key("zanbek", idx, fz)
+    assert is_new and eid == "zanbek"
+    # multi-word pattern-tier surfaces never cross the threshold vs
+    # single-token aliases (>= 5 extra chars -> ratio < 0.85)
+    eid, _t, _c, is_new, _n = resolve_key("king keldric", idx, fz)
+    assert is_new
