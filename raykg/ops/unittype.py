@@ -56,16 +56,22 @@ def classify(text: str) -> tuple[str, float]:
 
 
 def classify_batch(t: pa.Table) -> pd.DataFrame:
-    uids, types, confs = [], [], []
-    for uid, lang, text in zip(t["unit_id"].to_pylist(),
-                               t["lang"].to_pylist(),
-                               t["text"].to_pylist()):
+    has_repo = "repo" in t.schema.names
+    repos = t["repo"].to_pylist() if has_repo else [None] * t.num_rows
+    uids, types, confs, reps = [], [], [], []
+    for uid, lang, text, repo in zip(t["unit_id"].to_pylist(),
+                                     t["lang"].to_pylist(),
+                                     t["text"].to_pylist(), repos):
         if lang != "txt":
             continue
         ut, conf = classify(text)
         uids.append(uid)
         types.append(ut)
         confs.append(conf)
-    return pd.DataFrame({"unit_id": pd.Series(uids, dtype=str),
-                         "unit_type": pd.Series(types, dtype=str),
-                         "confidence": pd.Series(confs, dtype="float64")})
+        reps.append(repo)
+    out = {"unit_id": pd.Series(uids, dtype=str),
+           "unit_type": pd.Series(types, dtype=str),
+           "confidence": pd.Series(confs, dtype="float64")}
+    if has_repo:
+        out["repo"] = pd.Series(reps, dtype=str)
+    return pd.DataFrame(out)

@@ -170,8 +170,10 @@ def _metrics_ds(sf_dir: str):
     ds = rd.read_parquet(p["units"],
                          columns=["unit_id", "doc_sha256", "repo", "lang",
                                   "text"])
-    return ds.map_batches(fp.unit_metrics_batch, batch_format="pyarrow",
-                          batch_size=2048)
+    # STATEFUL ACTOR POOL (ST1): the POS lexicon model deserializes once
+    # per actor in StyleMetrics.__init__; autoscaling pool (1, 4)
+    return ds.map_batches(fp.StyleMetrics, batch_format="pyarrow",
+                          batch_size=2048, concurrency=(1, 4))
 
 
 def q_style_unit_metrics(sf_dir: str):
@@ -209,6 +211,185 @@ def q_style_vocab(sf_dir: str):
         ["repo", "word"], "cnt")
     return (word_counts.groupby("repo")
             .map_groups(fp.vocab_profile_group, batch_format="pandas"))
+
+
+def _word_counts_ds(sf_dir: str):
+    """Merged (repo, word, cnt, cap_cnt) — the A8 building block, shared
+    by the function-word / word-length / unknown-word / z-score queries."""
+    from raykg.functions import hashagg
+    from raykg.stages import fingerprint as fp
+    p = kg_paths(sf_dir)
+    ds = rd.read_parquet(p["units"], columns=["repo", "lang", "text"])
+    partial = ds.map_batches(fp.word_counts_batch, batch_format="pyarrow",
+                             batch_size=2048)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+        return (pl.from_pandas(g).group_by(["repo", "word"])
+                .agg(cnt=pl.col("cnt").sum(),
+                     cap_cnt=pl.col("cap_cnt").sum()).to_pandas())
+
+    return hashagg.grouped_apply(partial, ["repo", "word"], final)
+
+
+def q_style_function_words(sf_dir: str):
+    """A8 function-word relative frequencies (style/metrics.py:272-276):
+    one row per (repo, function word), freq = count / total repo tokens."""
+    from raykg.functions import hashagg
+    counts = _word_counts_ds(sf_dir).materialize()
+    totals = hashagg.sum_col(counts, ["repo"], "cnt", name="total")
+    fw = set(vocab.FUNCTION_WORDS)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[df["word"].isin(fw)].copy()
+        out["freq"] = (out["cnt"] / out["total"]).round(9)
+        return out[["repo", "word", "freq"]]
+
+    return (counts.join(totals, join_type="inner", num_partitions=4,
+                        on=("repo",))
+            .map_batches(score, batch_format="pandas"))
+
+
+def q_style_word_lengths(sf_dir: str):
+    """A8 word-length histogram (style/metrics.py:257-259): one row per
+    (repo, word length) with total occurrence count."""
+    from raykg.functions import hashagg
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["length"] = out["word"].str.len().astype("int64")
+        return (out.groupby(["repo", "length"], as_index=False)["cnt"]
+                .sum())
+
+    return hashagg.grouped_apply(
+        _word_counts_ds(sf_dir).map_batches(explode, batch_format="pandas"),
+        ["repo", "length"],
+        lambda g: g.groupby(["repo", "length"], as_index=False)["cnt"].sum())
+
+
+def q_style_unknown_words(sf_dir: str):
+    """A8 unknown/invented-word list (style/metrics.py:278-293): words
+    never seen capitalized (PROPN-exclusion analog), appearing ≤ 2 times,
+    longer than 2 chars, outside the POS-model lexicon and function-word
+    list; top 100 per repo by (count asc, word asc) — a deterministic
+    order where the reference keeps document order."""
+    from raykg.models import pos
+    m = pos.build_model("en")
+    lexicon = (set(m["other"]) | set(m["adv"]) | set(m["adj"])
+               | set(m["verb"]) | set(vocab.FUNCTION_WORDS)
+               | set(vocab.ARCHAISMS))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        mask = ((g["cap_cnt"] == 0) & (g["cnt"] <= 2)
+                & (g["word"].str.len() > 2)
+                & ~g["word"].isin(lexicon))
+        out = (g[mask].sort_values(["cnt", "word"], kind="mergesort")
+               .head(100))
+        return out[["repo", "word", "cnt"]]
+
+    return (_word_counts_ds(sf_dir).groupby("repo")
+            .map_groups(pick, batch_format="pandas"))
+
+
+def q_style_zscores(sf_dir: str):
+    """A9 function-word z-score map (style/fingerprint.py:141-153): each
+    repo's function-word frequencies standardized against the repo's OWN
+    mean/std over those frequencies."""
+    from raykg.stages import fingerprint as fp
+    return (_word_counts_ds(sf_dir).groupby("repo")
+            .map_groups(fp.zscores_group, batch_format="pandas"))
+
+
+def q_style_type_distribution(sf_dir: str):
+    """A9 passage-type distribution (style/fingerprint.py:155-162): share
+    of units per (repo, unit_type) from the M13 classifier."""
+    from raykg.functions import hashagg
+    from raykg.ops import unittype as ut
+    p = kg_paths(sf_dir)
+    ds = rd.read_parquet(p["units"], columns=["unit_id", "repo", "lang",
+                                              "text"])
+    typed = ds.map_batches(ut.classify_batch, batch_format="pyarrow")
+    counts = hashagg.count_rows(typed, ["repo", "unit_type"], name="n")
+
+    def share(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.copy()
+        out["share"] = (out["n"] / int(g["n"].sum())).round(6)
+        return out[["repo", "unit_type", "n", "share"]]
+
+    # per-repo normalization: repo groups are unit-type-cardinality rows
+    return counts.groupby("repo").map_groups(share, batch_format="pandas")
+
+
+def q_style_similarity(sf_dir: str):
+    """A10 composite similarity (style/fingerprint.py:205-246): mean of
+    [delta_sim×2, sentence-length sim, readability sim, type-distribution
+    dot product] per repo pair — the reference's exact formulas.  The
+    per-repo fingerprint pieces are distributed aggregates; only the
+    O(repos²) pairwise step runs on the driver (repo count is small)."""
+    import numpy as np
+    z = q_style_zscores(sf_dir).to_pandas()
+    dist = q_style_distribution(sf_dir).to_pandas()
+    read = q_style_readability(sf_dir).to_pandas()
+    tdist = q_style_type_distribution(sf_dir).to_pandas()
+
+    zmat = z.pivot_table(index="word", columns="repo", values="zscore")
+    mean_len = dist.set_index("repo")["mean"]
+    fk = read.set_index("repo")["flesch_kincaid_grade"]
+    tmat = tdist.pivot_table(index="unit_type", columns="repo",
+                             values="share", fill_value=0.0)
+    repos = sorted(mean_len.index)
+    rows = []
+    for i, a in enumerate(repos):
+        for b in repos[i + 1:]:
+            delta = float(np.abs(zmat[a] - zmat[b]).mean())
+            scores = [max(0.0, 1 - delta / 2) * 2,
+                      max(0.0, 1 - abs(mean_len[a] - mean_len[b]) / 20),
+                      max(0.0, 1 - abs(fk[a] - fk[b]) / 12),
+                      float((tmat[a] * tmat[b]).sum())]
+            rows.append((a, b, round(delta, 6),
+                         round(sum(scores) / len(scores), 6)))
+    return pd.DataFrame(rows, columns=["repo_a", "repo_b", "delta",
+                                       "similarity"])
+
+
+def q_voice_top_words(sf_dir: str):
+    """A12 per-speaker top words (voice/profile.py:188-196): stopwords
+    excluded, length > 2, top 20 by (count desc, word asc)."""
+    from raykg.functions import hashagg
+    from raykg.stages import dialogue as dlg
+    p = kg_paths(sf_dir)
+    ds = rd.read_parquet(p["units"],
+                         columns=["unit_id", "doc_sha256", "repo", "lang",
+                                  "text"])
+    spans = (ds.map_batches(dlg.spans_batch, batch_format="pyarrow",
+                            batch_size=2048)
+             .map_batches(lambda t: t.filter(
+                 pc.equal(t["attribution_tier"], 1)),
+                 batch_format="pyarrow"))
+
+    def words_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for sp, q in zip(df["speaker"], df["quote_text"]):
+            for w in q.lower().split():
+                if w not in vocab.VOICE_STOPWORDS and len(w) > 2:
+                    rows.append((sp, w))
+        out = pd.DataFrame(rows, columns=["speaker", "word"])
+        return (out.groupby(["speaker", "word"], sort=False).size()
+                .reset_index(name="cnt"))
+
+    counts = hashagg.grouped_apply(
+        spans, ["speaker", "word"],
+        lambda g: (g.groupby(["speaker", "word"], sort=False,
+                             as_index=False)["cnt"].sum()),
+        words_partial)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["speaker", "cnt", "word"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+                .groupby("speaker", sort=False).head(20))
+
+    return hashagg.grouped_apply(counts, ["speaker"], topk)
 
 
 # -------------------------------------------------- dialogue/events queries
@@ -1376,13 +1557,43 @@ def _syll_expr(w: str) -> str:
             f"AND {w} NOT LIKE '%le' AND {groups} > 1 THEN 1 ELSE 0 END)")
 
 
+def _tag_expr(w: str) -> str:
+    """SQL mirror of models.pos.PosTagger.tag — identical ladder over the
+    identical artifact word lists."""
+    from raykg.models import pos
+    model = pos.build_model("en")
+    other = ", ".join(f"'{x}'" for x in model["other"])
+    adv = ", ".join(f"'{x}'" for x in model["adv"])
+    adj = ", ".join(f"'{x}'" for x in model["adj"])
+    verb = ", ".join(f"'{x}'" for x in model["verb"])
+    return f"""CASE
+      WHEN {w} IN ({other}) THEN 'OTHER'
+      WHEN {w} IN ({adv}) OR (length({w}) >= {pos.ADV_MIN_LEN}
+           AND {w} LIKE '%{pos.ADV_SUFFIX}') THEN 'ADV'
+      WHEN {w} IN ({adj})
+           OR regexp_matches({w}, '{pos.ADJ_SUFFIX_PATTERN}') THEN 'ADJ'
+      WHEN {w} IN ({verb}) OR (length({w}) >= {pos.VERB_SUFFIX_MIN_LEN}
+           AND regexp_matches({w}, '{pos.VERB_SUFFIX_PATTERN}'))
+           THEN 'VERB'
+      ELSE 'NOUN' END"""
+
+
 def unit_metrics_cte() -> str:
+    from raykg.models import pos
     from raykg.stages import fingerprint as fp
     arch = ", ".join(f"'{a}'" for a in vocab.ARCHAISMS)
+    subs = ", ".join(f"'{s}'" for s in pos.SUBORDINATORS)
     words = f"regexp_extract_all(lower(text), '[a-z]+')"
     syll = _syll_expr("w")
+    tag = _tag_expr("w")
+    passive = f"len(regexp_extract_all(lower(text), '{pos.PASSIVE_PATTERN}'))"
     return f"""
-unit_metrics AS (
+unit_metrics AS MATERIALIZED (
+  SELECT *,
+    CASE WHEN passive_count > 0 AND verb_count > passive_count THEN 'mixed'
+         WHEN passive_count > 0 THEN 'passive'
+         ELSE 'active' END AS voice
+  FROM (
   SELECT unit_id, doc_sha256, repo,
     len(regexp_extract_all(text, '{fp.WORD_PATTERN}')) AS word_count,
     CAST(length(text) AS BIGINT) AS char_count,
@@ -1395,8 +1606,14 @@ unit_metrics AS (
     CAST(coalesce(list_sum(list_transform({words}, w -> {syll})), 0)
          AS BIGINT) AS syllable_count,
     len(list_filter({words}, w -> {syll} >= 3)) AS complex_word_count,
-    len(list_filter({words}, w -> w IN ({arch}))) AS archaism_count
-  FROM units WHERE lang = 'txt'
+    len(list_filter({words}, w -> w IN ({arch}))) AS archaism_count,
+    len(list_filter({words}, w -> {tag} = 'NOUN')) AS noun_count,
+    len(list_filter({words}, w -> {tag} = 'VERB')) AS verb_count,
+    len(list_filter({words}, w -> {tag} = 'ADJ')) AS adj_count,
+    len(list_filter({words}, w -> {tag} = 'ADV')) AS adv_count,
+    len(list_filter({words}, w -> w IN ({subs}))) AS clause_depth,
+    {passive} AS passive_count
+  FROM units WHERE lang = 'txt')
 )"""
 
 
@@ -1405,6 +1622,142 @@ def _verb_case(col: str) -> str:
         f"WHEN '{v}' THEN '{p}'"
         for v, p in sorted(vocab.VERB_PHRASE_TO_PRED.items()))
     return f"CASE {col} {whens} ELSE '{vocab.FALLBACK_PREDICATE}' END"
+
+
+
+def wc_cte() -> str:
+    """Case-aware (repo, word, cnt, cap_cnt) counts — SQL mirror of
+    fingerprint.word_counts_batch."""
+    return """
+wc AS MATERIALIZED (
+  SELECT repo, lower(tok) AS word, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(CASE WHEN regexp_matches(tok, '^[A-Z]') THEN 1
+                       ELSE 0 END) AS BIGINT) AS cap_cnt
+  FROM (SELECT repo, unnest(regexp_extract_all(text, '[A-Za-z]+')) AS tok
+        FROM units WHERE lang = 'txt')
+  GROUP BY 1, 2
+)"""
+
+
+def fw_values() -> str:
+    return ", ".join(f"('{w}')" for w in vocab.FUNCTION_WORDS)
+
+
+def unit_typed_cte() -> str:
+    """Per-unit M13 classification with repo — shared by unit_types and
+    the A9 type-distribution oracle."""
+    from raykg.ops import unittype as ut
+    cats = sorted(ut.CATEGORY_PATTERNS)
+    score_cols = ",\n    ".join(
+        f"len(regexp_extract_all(text, '{ut.CATEGORY_PATTERNS[c]}'))"
+        f" AS s_{c}" for c in cats)
+    total = " + ".join(f"s_{c}" for c in cats)
+    argmax_val = "CASE "
+    argmax_name = "CASE "
+    for i, c in enumerate(cats):
+        rest = [f"s_{c} >= s_{o}" for o in cats[i + 1:]]
+        cond = " AND ".join(rest) if rest else "true"
+        argmax_val += f"WHEN {cond} THEN s_{c} "
+        argmax_name += f"WHEN {cond} THEN '{c}' "
+    argmax_val += "END"
+    argmax_name += "END"
+    return f"""
+typed_raw AS (
+  SELECT unit_id, repo,
+    {score_cols}
+  FROM units WHERE lang = 'txt')
+, unit_typed AS (
+  SELECT unit_id, repo,
+    CASE WHEN ({total}) = 0 THEN 'unknown'
+         WHEN round(({argmax_val}) / CAST(({total}) AS DOUBLE), 6)
+              < {ut.CONF_THRESHOLD} THEN 'unknown'
+         ELSE ({argmax_name}) END AS unit_type,
+    CASE WHEN ({total}) = 0 THEN 0.0
+         ELSE round(({argmax_val}) / CAST(({total}) AS DOUBLE), 6)
+         END AS confidence
+  FROM typed_raw)
+"""
+
+
+
+def _sq(w: str) -> str:
+    return "'" + w.replace("'", "''") + "'"
+
+
+def _voice_profiles_sql(U: str, spans_cte: str) -> str:
+    """Extended A12 voice-profile oracle (voice/profile.py:65-208)."""
+    pstrip = "'.,!?\"' || chr(39)"              # python strip '.,!?"\''
+    lstrip = "'.,!?\"' || chr(39) || '-'        "  # + '-' for word lengths
+    first = ", ".join(_sq(w) for w in sorted(vocab.FIRST_PERSON_WORDS))
+    second = ", ".join(_sq(w) for w in sorted(vocab.SECOND_PERSON_WORDS))
+    varch = ", ".join(_sq(w) for w in vocab.VOICE_ARCHAISMS)
+    contr = " OR ".join(
+        "w LIKE " + _sq(f"%{pat}%") for pat in vocab.CONTRACTION_PATTERNS)
+    return f"""WITH {U},{spans_cte},
+vpl AS MATERIALIZED (
+  SELECT speaker, unit_id, quote_text,
+         string_split(lower(quote_text), ' ') AS ws
+  FROM spans),
+vline AS (
+  SELECT speaker, unit_id, quote_text,
+     len(ws) AS n_words,
+     CAST(length(quote_text) AS BIGINT) AS n_chars,
+     quote_text LIKE '%?' AS is_q,
+     quote_text LIKE '%!' AS is_e,
+     len(regexp_extract_all(quote_text, '[A-Za-z]+')) AS alpha_words,
+     len(list_filter(ws, w -> trim(w, {pstrip}) IN ({first}))) AS n_first,
+     len(list_filter(ws, w -> trim(w, {pstrip}) IN ({second}))) AS n_second,
+     len(list_filter(ws, w -> {contr})) AS n_contr,
+     CAST(coalesce(list_sum(list_transform(ws,
+          w -> length(trim(w, {lstrip})))), 0) AS BIGINT) AS sum_wlen
+  FROM vpl),
+vex AS MATERIALIZED (SELECT speaker, unnest(ws) AS w FROM vpl),
+vuniq AS (SELECT speaker, CAST(count(DISTINCT w) AS BIGINT) AS uniq
+          FROM vex GROUP BY 1),
+vfound AS (SELECT DISTINCT speaker, trim(w, {pstrip}) AS a FROM vex
+           WHERE trim(w, {pstrip}) IN ({varch})),
+varchcnt AS (SELECT f.speaker, CAST(count(*) AS BIGINT) AS arch
+             FROM vfound f JOIN vex e
+               ON e.speaker = f.speaker AND e.w = f.a GROUP BY 1),
+vagg AS (
+  SELECT speaker,
+     CAST(count(*) AS BIGINT) AS n_lines,
+     CAST(sum(CASE WHEN is_q THEN 1 ELSE 0 END) AS BIGINT) AS nq,
+     CAST(sum(CASE WHEN NOT is_q AND is_e THEN 1 ELSE 0 END) AS BIGINT)
+         AS ne,
+     round(avg(alpha_words), 6) AS mean_quote_words,
+     count(DISTINCT unit_id) AS n_units,
+     CAST(sum(n_words) AS BIGINT) AS total_words,
+     CAST(sum(n_chars) AS BIGINT) AS total_chars,
+     round(avg(n_words), 6) AS avg_utterance_length,
+     round(CASE WHEN count(*) > 1 THEN stddev_samp(n_words)
+                ELSE 0 END, 6) AS utterance_length_std,
+     CAST(min(n_words) AS BIGINT) AS min_utterance_length,
+     CAST(max(n_words) AS BIGINT) AS max_utterance_length,
+     CAST(sum(n_first) AS BIGINT) AS n_first,
+     CAST(sum(n_second) AS BIGINT) AS n_second,
+     CAST(sum(n_contr) AS BIGINT) AS n_contr,
+     CAST(sum(sum_wlen) AS BIGINT) AS sum_wlen
+  FROM vline GROUP BY speaker HAVING count(*) >= 3)
+SELECT v.speaker, v.n_lines,
+   round(v.nq / CAST(v.n_lines AS DOUBLE), 6) AS question_ratio,
+   round(v.ne / CAST(v.n_lines AS DOUBLE), 6) AS exclamation_ratio,
+   round((v.n_lines - v.nq - v.ne) / CAST(v.n_lines AS DOUBLE), 6)
+       AS statement_ratio,
+   v.mean_quote_words, v.n_units, v.total_words, v.total_chars,
+   v.avg_utterance_length, v.utterance_length_std,
+   v.min_utterance_length, v.max_utterance_length,
+   u.uniq AS unique_words,
+   round(u.uniq / CAST(v.total_words AS DOUBLE), 6) AS type_token_ratio,
+   round(v.sum_wlen / CAST(v.total_words AS DOUBLE), 6) AS avg_word_length,
+   round(v.n_contr / CAST(v.total_words AS DOUBLE), 6) AS contraction_ratio,
+   round(v.n_first / CAST(v.total_words AS DOUBLE), 6) AS first_person_ratio,
+   round(v.n_second / CAST(v.total_words AS DOUBLE), 6)
+       AS second_person_ratio,
+   coalesce(a.arch, 0) AS archaism_count
+FROM vagg v
+JOIN vuniq u ON u.speaker = v.speaker
+LEFT JOIN varchcnt a ON a.speaker = v.speaker"""
 
 
 def oracle_for(name: str, sf_dir: str) -> str:
@@ -1712,6 +2065,120 @@ ev_dedup AS (
                  FROM keyed) WHERE rn = 1
 )"""
 
+
+    if name == "style_function_words":
+        fws = ", ".join(f"'{w}'" for w in vocab.FUNCTION_WORDS)
+        return f"""WITH {U},{wc_cte()},
+tot AS (SELECT repo, sum(cnt) AS total FROM wc GROUP BY 1)
+SELECT wc.repo, word, round(cnt / CAST(total AS DOUBLE), 9) AS freq
+FROM wc JOIN tot ON tot.repo = wc.repo
+WHERE word IN ({fws})"""
+
+    if name == "style_word_lengths":
+        return f"""WITH {U},{wc_cte()}
+SELECT repo, CAST(length(word) AS BIGINT) AS length,
+       CAST(sum(cnt) AS BIGINT) AS cnt
+FROM wc GROUP BY 1, 2"""
+
+    if name == "style_unknown_words":
+        from raykg.models import pos
+        m = pos.build_model("en")
+        lex = sorted(set(m["other"]) | set(m["adv"]) | set(m["adj"])
+                     | set(m["verb"]) | set(vocab.FUNCTION_WORDS)
+                     | set(vocab.ARCHAISMS))
+        lexs = ", ".join(f"'{w}'" for w in lex)
+        return f"""WITH {U},{wc_cte()}
+SELECT repo, word, cnt FROM (
+  SELECT repo, word, cnt,
+         row_number() OVER (PARTITION BY repo ORDER BY cnt, word) AS rn
+  FROM wc
+  WHERE cap_cnt = 0 AND cnt <= 2 AND length(word) > 2
+    AND word NOT IN ({lexs}))
+WHERE rn <= 100"""
+
+    if name == "style_zscores":
+        return f"""WITH {U},{wc_cte()},
+tot AS (SELECT repo, sum(cnt) AS total FROM wc GROUP BY 1),
+fwv(word) AS (VALUES {fw_values()}),
+freqs AS (
+  SELECT t.repo, f.word,
+         coalesce(w.cnt, 0) / CAST(t.total AS DOUBLE) AS freq
+  FROM tot t CROSS JOIN fwv f
+  LEFT JOIN wc w ON w.repo = t.repo AND w.word = f.word),
+stats AS (
+  SELECT repo, avg(freq) AS mean_,
+         CASE WHEN count(*) > 1 THEN stddev_samp(freq) ELSE 1 END AS std_
+  FROM freqs GROUP BY 1)
+SELECT f.repo, f.word,
+       round((f.freq - s.mean_) /
+             CASE WHEN s.std_ > 0 THEN s.std_ ELSE 1 END, 6) AS zscore
+FROM freqs f JOIN stats s ON s.repo = f.repo"""
+
+    if name == "style_type_distribution":
+        return f"""WITH {U},{unit_typed_cte()},
+tc AS (SELECT repo, unit_type, CAST(count(*) AS BIGINT) AS n
+       FROM unit_typed GROUP BY 1, 2),
+tt AS (SELECT repo, sum(n) AS total FROM tc GROUP BY 1)
+SELECT tc.repo, unit_type, n,
+       round(n / CAST(total AS DOUBLE), 6) AS share
+FROM tc JOIN tt ON tt.repo = tc.repo"""
+
+    if name == "style_similarity":
+        zs = oracle_for("style_zscores", sf_dir)
+        td = oracle_for("style_type_distribution", sf_dir)
+        return f"""WITH
+z AS MATERIALIZED ({zs}),
+tdist AS MATERIALIZED ({td}),
+um2 AS MATERIALIZED (
+  WITH {U},{unit_metrics_cte()}
+  SELECT repo, round(avg(word_count), 6) AS mean_len,
+         round(0.39 * (sum(word_count) / CAST(count(*) AS DOUBLE))
+               + 11.8 * (sum(syllable_count)
+                         / CAST(sum(word_count) AS DOUBLE))
+               - 15.59, 2) AS fk
+  FROM unit_metrics GROUP BY repo),
+pairs AS (
+  SELECT a.repo AS repo_a, b.repo AS repo_b,
+         a.mean_len AS ml_a, b.mean_len AS ml_b, a.fk AS fk_a,
+         b.fk AS fk_b
+  FROM um2 a JOIN um2 b ON a.repo < b.repo),
+deltas AS (
+  SELECT za.repo AS repo_a, zb.repo AS repo_b,
+         avg(abs(za.zscore - zb.zscore)) AS delta_raw
+  FROM z za JOIN z zb ON za.word = zb.word AND za.repo < zb.repo
+  GROUP BY 1, 2),
+dots AS (
+  SELECT p.repo_a, p.repo_b,
+         coalesce(sum(ta.share * tb.share), 0) AS dot
+  FROM pairs p
+  LEFT JOIN tdist ta ON ta.repo = p.repo_a
+  LEFT JOIN tdist tb ON tb.repo = p.repo_b
+       AND tb.unit_type = ta.unit_type
+  GROUP BY 1, 2)
+SELECT p.repo_a, p.repo_b, round(d.delta_raw, 6) AS delta,
+       round((greatest(0, 1 - d.delta_raw / 2) * 2
+              + greatest(0, 1 - abs(p.ml_a - p.ml_b) / 20)
+              + greatest(0, 1 - abs(p.fk_a - p.fk_b) / 12)
+              + o.dot) / 4, 6) AS similarity
+FROM pairs p
+JOIN deltas d ON d.repo_a = p.repo_a AND d.repo_b = p.repo_b
+JOIN dots o ON o.repo_a = p.repo_a AND o.repo_b = p.repo_b"""
+
+    if name == "voice_top_words":
+        stop = ", ".join(f"'{w}'" for w in sorted(vocab.VOICE_STOPWORDS))
+        return f"""WITH {U},{spans_cte},
+vw AS (
+  SELECT speaker, w AS word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT speaker,
+               unnest(string_split(lower(quote_text), ' ')) AS w
+        FROM spans)
+  WHERE length(w) > 2 AND w NOT IN ({stop})
+  GROUP BY 1, 2)
+SELECT speaker, word, cnt FROM (
+  SELECT *, row_number() OVER (PARTITION BY speaker
+                               ORDER BY cnt DESC, word ASC) AS rn
+  FROM vw) WHERE rn <= 20"""
+
     if name == "dialogue_spans":
         return f"""WITH {U},{spans_cte}
 SELECT unit_id, quote_text, speaker, speech_verb,
@@ -1722,16 +2189,7 @@ SELECT unit_id, quote_text, speaker, speech_verb,
 FROM spans"""
 
     if name == "voice_profiles":
-        return f"""WITH {U},{spans_cte}
-SELECT speaker, count(*) AS n_lines,
-       round(sum(CASE WHEN quote_text LIKE '%?' THEN 1 ELSE 0 END)
-             / CAST(count(*) AS DOUBLE), 6) AS question_ratio,
-       round(sum(CASE WHEN quote_text LIKE '%!' THEN 1 ELSE 0 END)
-             / CAST(count(*) AS DOUBLE), 6) AS exclamation_ratio,
-       round(avg(len(regexp_extract_all(quote_text, '[A-Za-z]+'))), 6)
-           AS mean_quote_words,
-       count(DISTINCT unit_id) AS n_units
-FROM spans GROUP BY speaker HAVING count(*) >= 3"""
+        return _voice_profiles_sql(U, spans_cte)
 
     if name == "events":
         return (f"WITH {U},{ev_cte} SELECT unit_id, agent, action, patient, "
@@ -1757,7 +2215,8 @@ WHERE a.era_ord <> b.era_ord OR a.year <> b.year"""
         return (f"WITH {U},{UM} SELECT unit_id, word_count, char_count, "
                 "punct_count, is_question, is_exclamation, is_dialogue, "
                 "long_word_count, syllable_count, complex_word_count, "
-                "archaism_count FROM unit_metrics")
+                "archaism_count, noun_count, verb_count, adj_count, "
+                "adv_count, clause_depth, voice FROM unit_metrics")
 
     if name == "style_distribution":
         return f"""WITH {U},{UM},
@@ -1782,7 +2241,13 @@ SELECT repo, count(*) AS n_units,
        round(sum(CASE WHEN is_dialogue THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS dialogue_ratio,
        round(sum(CASE WHEN is_question THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS question_ratio,
        round(sum(CASE WHEN is_exclamation THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS exclamation_ratio,
-       round(avg(word_count), 6) AS mean_word_count
+       round(sum(CASE WHEN voice = 'passive' THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS passive_voice_ratio,
+       round(avg(word_count), 6) AS mean_word_count,
+       round(sum(noun_count) / CAST(greatest(sum(word_count), 1) AS DOUBLE), 6) AS noun_ratio,
+       round(sum(verb_count) / CAST(greatest(sum(word_count), 1) AS DOUBLE), 6) AS verb_ratio,
+       round(sum(adj_count) / CAST(greatest(sum(word_count), 1) AS DOUBLE), 6) AS adjective_ratio,
+       round(sum(adv_count) / CAST(greatest(sum(word_count), 1) AS DOUBLE), 6) AS adverb_ratio,
+       round(avg(clause_depth), 6) AS mean_clause_depth
 FROM unit_metrics GROUP BY repo"""
 
     if name == "style_readability":
@@ -2253,6 +2718,13 @@ QUERY_FNS = {
     "style_fingerprint": q_style_fingerprint,
     "style_readability": q_style_readability,
     "style_vocab": q_style_vocab,
+    "style_function_words": q_style_function_words,
+    "style_word_lengths": q_style_word_lengths,
+    "style_unknown_words": q_style_unknown_words,
+    "style_zscores": q_style_zscores,
+    "style_type_distribution": q_style_type_distribution,
+    "style_similarity": q_style_similarity,
+    "voice_top_words": q_voice_top_words,
     "dialogue_spans": q_dialogue_spans,
     "voice_profiles": q_voice_profiles,
     "events": q_events,

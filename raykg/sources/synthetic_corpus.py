@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 from raykg import vocab
 from raykg.functions.textnorm import sha256_hex, slugify
 
-GEN_VERSION = 9
+GEN_VERSION = 10
 CACHE_ROOT = "/tmp/raykg_data"
 
 # ---------------------------------------------------------------- name pools
@@ -284,7 +284,12 @@ class _FileGen:
         verb = vocab.SPEECH_VERBS[self.rng.randint(len(vocab.SPEECH_VERBS))]
         quotes = ['"We must go at once,"', '"It is too late,"',
                   '"Who walks there?"', '"Hold the gate!"',
-                  '"The night is cold,"']
+                  '"The night is cold,"',
+                  '"I\'ll guard the door myself,"',
+                  '"You\'d best rest now, I think,"',
+                  '"Nay, I will not yield!"',
+                  '"Behold the dawn, my friend,"',
+                  '"You\'re certain of it?"']
         q = quotes[self.rng.randint(len(quotes))]
         return f"{q} {verb} {s}."
 

@@ -128,19 +128,88 @@ def spans_batch(t: pa.Table) -> pa.Table:
     })
 
 
+_PROFILE_COLS = (
+    "speaker", "n_lines", "question_ratio", "exclamation_ratio",
+    "statement_ratio", "mean_quote_words", "n_units", "total_words",
+    "total_chars", "avg_utterance_length", "utterance_length_std",
+    "min_utterance_length", "max_utterance_length", "unique_words",
+    "type_token_ratio", "avg_word_length", "contraction_ratio",
+    "first_person_ratio", "second_person_ratio", "archaism_count")
+
+_LEN_STRIP = '.,!?"\'-'
+_PERSON_STRIP = '.,!?"\''
+
+
 def voice_profile_group(g: pd.DataFrame) -> pd.DataFrame:
-    """A12 per-speaker profile (≥ MIN_LINES lines)."""
+    """A12 per-speaker profile (≥ MIN_LINES lines) — the reference's full
+    aggregate set (voice/profile.py:65-208): utterance-length stats,
+    question/exclamation/statement classification (elif-cascade: a '?!'
+    quote counts as question only), vocabulary (TTR, avg stripped word
+    length), formality ratios (contractions / first / second person) and
+    archaism count over the reference's own archaism list."""
+    import statistics
     n = len(g)
     if n < MIN_LINES:
-        return pd.DataFrame({c: [] for c in (
-            "speaker", "n_lines", "question_ratio", "exclamation_ratio",
-            "mean_quote_words", "n_units")})
+        return pd.DataFrame({c: [] for c in _PROFILE_COLS})
     wc = g["quote_text"].str.count(r"[A-Za-z]+")
+    lengths, word_lens = [], []
+    counts: dict[str, int] = {}
+    total_chars = contractions = first = second = 0
+    questions = exclamations = 0
+    arch_found: set[str] = set()
+    for text, is_q, is_e in zip(g["quote_text"], g["is_question"],
+                                g["is_exclamation"]):
+        total_chars += len(text)
+        words = text.lower().split()
+        lengths.append(len(words))
+        if is_q:
+            questions += 1
+        elif is_e:
+            exclamations += 1
+        for w in words:
+            counts[w] = counts.get(w, 0) + 1
+            word_lens.append(len(w.strip(_LEN_STRIP)))
+            wl = w.strip(_PERSON_STRIP)
+            if wl in vocab.FIRST_PERSON_WORDS:
+                first += 1
+            if wl in vocab.SECOND_PERSON_WORDS:
+                second += 1
+            for pat in vocab.CONTRACTION_PATTERNS:
+                if pat in w:
+                    contractions += 1
+                    break
+            if wl in vocab.VOICE_ARCHAISMS:
+                arch_found.add(wl)
+    total_words = sum(lengths)
+    uniq = len(counts)
+    # reference quirk: archaisms_found holds STRIPPED forms but the count
+    # looks them up in the RAW word counter (voice/profile.py:203-204)
+    arch_count = sum(counts.get(a, 0) for a in arch_found)
     return pd.DataFrame({
         "speaker": [g["speaker"].iloc[0]],
         "n_lines": [n],
-        "question_ratio": [round(float(g["is_question"].sum()) / n, 6)],
-        "exclamation_ratio": [round(float(g["is_exclamation"].sum()) / n, 6)],
+        "question_ratio": [round(questions / n, 6)],
+        "exclamation_ratio": [round(exclamations / n, 6)],
+        "statement_ratio": [round((n - questions - exclamations) / n, 6)],
         "mean_quote_words": [round(float(wc.mean()), 6)],
         "n_units": [g["unit_id"].nunique()],
+        "total_words": [total_words],
+        "total_chars": [total_chars],
+        "avg_utterance_length": [round(statistics.mean(lengths), 6)],
+        "utterance_length_std": [
+            round(statistics.stdev(lengths), 6) if n > 1 else 0.0],
+        "min_utterance_length": [min(lengths)],
+        "max_utterance_length": [max(lengths)],
+        "unique_words": [uniq],
+        "type_token_ratio": [
+            round(uniq / total_words, 6) if total_words else 0.0],
+        "avg_word_length": [
+            round(statistics.mean(word_lens), 6) if word_lens else 0.0],
+        "contraction_ratio": [
+            round(contractions / total_words, 6) if total_words else 0.0],
+        "first_person_ratio": [
+            round(first / total_words, 6) if total_words else 0.0],
+        "second_person_ratio": [
+            round(second / total_words, 6) if total_words else 0.0],
+        "archaism_count": [arch_count],
     })

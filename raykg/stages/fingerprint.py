@@ -39,38 +39,80 @@ _PUNCT_RE = re.compile(PUNCT_PATTERN)
 _ARCH = frozenset(vocab.ARCHAISMS)
 
 
+class StyleMetrics:
+    """M14 per-unit metrics as a STATEFUL ACTOR-POOL stage (ST1): the
+    per-language POS lexicon model (raykg/models/pos.py) is deserialized
+    and indexed ONCE per actor in ``__init__``; ``__call__`` only tags.
+    Pass the class to ``map_batches(StyleMetrics, concurrency=(a, b))`` —
+    the reference builds its spaCy pipeline once per process the same way
+    (``extract/ner.py:64-76``).
+
+    Adds the model-tier columns the regex path could not produce
+    (reference ``style/metrics.py:124-230``): noun/verb/adj/adv counts,
+    clause_depth (subordinate-marker analog), voice
+    (active/passive/mixed via the be+participle analog)."""
+
+    #: incremented per instantiation — tests assert once-per-actor init
+    init_count = 0
+
+    def __init__(self):
+        from raykg.models.pos import PosTagger
+        type(self).init_count += 1
+        # per-language registry; prose is 'txt' → English model
+        self.taggers = {"txt": PosTagger("en")}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.filter(pc.equal(t["lang"], "txt"))
+        tagger = self.taggers["txt"]
+        texts = t["text"].to_pylist()
+        out = {k: [] for k in (
+            "word_count", "char_count", "punct_count", "is_question",
+            "is_exclamation", "is_dialogue", "long_word_count",
+            "syllable_count", "complex_word_count", "archaism_count",
+            "noun_count", "verb_count", "adj_count", "adv_count",
+            "clause_depth", "voice")}
+        for text in texts:
+            words = _WORD_RE.findall(text)
+            lower = [w.lower() for w in words]
+            syls = [count_syllables(w) for w in lower]
+            feats = tagger.sentence_features(text, lower)
+            out["word_count"].append(len(words))
+            out["char_count"].append(len(text))
+            out["punct_count"].append(len(_PUNCT_RE.findall(text)))
+            out["is_question"].append("?" in text)
+            out["is_exclamation"].append("!" in text)
+            out["is_dialogue"].append('"' in text)
+            out["long_word_count"].append(
+                sum(1 for w in words if len(w) > LONG_WORD_LEN))
+            out["syllable_count"].append(sum(syls))
+            out["complex_word_count"].append(sum(1 for s in syls if s >= 3))
+            out["archaism_count"].append(
+                sum(1 for w in lower if w in _ARCH))
+            for k in ("noun_count", "verb_count", "adj_count", "adv_count",
+                      "clause_depth"):
+                out[k].append(feats[k])
+            out["voice"].append(feats["voice"])
+        return pa.table({
+            "unit_id": t["unit_id"],
+            "doc_sha256": t["doc_sha256"],
+            "repo": t["repo"],
+            **{k: pa.array(
+                v, pa.bool_() if k.startswith("is_")
+                else pa.string() if k == "voice" else pa.int64())
+               for k, v in out.items()},
+        })
+
+
+_METRICS_SINGLETON: list = []
+
+
 def unit_metrics_batch(t: pa.Table) -> pa.Table:
-    """Prose units → per-unit numeric feature row (M14 analog)."""
-    import pyarrow.compute as pc
-    t = t.filter(pc.equal(t["lang"], "txt"))
-    texts = t["text"].to_pylist()
-    out = {k: [] for k in (
-        "word_count", "char_count", "punct_count", "is_question",
-        "is_exclamation", "is_dialogue", "long_word_count",
-        "syllable_count", "complex_word_count", "archaism_count")}
-    for text in texts:
-        words = _WORD_RE.findall(text)
-        syls = [count_syllables(w.lower()) for w in words]
-        out["word_count"].append(len(words))
-        out["char_count"].append(len(text))
-        out["punct_count"].append(len(_PUNCT_RE.findall(text)))
-        out["is_question"].append("?" in text)
-        out["is_exclamation"].append("!" in text)
-        out["is_dialogue"].append('"' in text)
-        out["long_word_count"].append(
-            sum(1 for w in words if len(w) > LONG_WORD_LEN))
-        out["syllable_count"].append(sum(syls))
-        out["complex_word_count"].append(sum(1 for s in syls if s >= 3))
-        out["archaism_count"].append(
-            sum(1 for w in words if w.lower() in _ARCH))
-    res = pa.table({
-        "unit_id": t["unit_id"],
-        "doc_sha256": t["doc_sha256"],
-        "repo": t["repo"],
-        **{k: pa.array(v, pa.bool_() if k.startswith("is_") else pa.int64())
-           for k, v in out.items()},
-    })
-    return res
+    """Task-path wrapper: per-worker-process singleton of StyleMetrics
+    (model loads once per worker even without an actor pool)."""
+    if not _METRICS_SINGLETON:
+        _METRICS_SINGLETON.append(StyleMetrics())
+    return _METRICS_SINGLETON[0](t)
 
 
 def distribution(values: list[float]) -> dict:
@@ -123,24 +165,31 @@ def readability_group(g: pd.DataFrame) -> pd.DataFrame:
 
 def word_counts_batch(t: pa.Table) -> pd.DataFrame:
     """Partial (repo, word) counts per batch — the combiner before the
-    groupby shuffle (A8 two-phase)."""
+    groupby shuffle (A8 two-phase).  ``cap_cnt`` counts initial-capital
+    occurrences (the PROPN-exclusion analog for the unknown-word list —
+    a word that EVER appears capitalized is treated as a proper noun)."""
     import pyarrow.compute as pc
     t = t.filter(pc.equal(t["lang"], "txt"))
     repos = t["repo"].to_pylist()
     texts = t["text"].to_pylist()
     counts: dict[tuple[str, str], int] = {}
+    caps: dict[tuple[str, str], int] = {}
     for repo, text in zip(repos, texts):
         for w in _WORD_RE.findall(text):
             key = (repo, w.lower())
             counts[key] = counts.get(key, 0) + 1
+            if w[0].isupper():
+                caps[key] = caps.get(key, 0) + 1
     if not counts:
         return pd.DataFrame({"repo": pd.Series([], dtype=str),
                              "word": pd.Series([], dtype=str),
-                             "cnt": pd.Series([], dtype="int64")})
+                             "cnt": pd.Series([], dtype="int64"),
+                             "cap_cnt": pd.Series([], dtype="int64")})
     ks = list(counts)
     return pd.DataFrame({"repo": [k[0] for k in ks],
                          "word": [k[1] for k in ks],
-                         "cnt": [counts[k] for k in ks]})
+                         "cnt": [counts[k] for k in ks],
+                         "cap_cnt": [caps.get(k, 0) for k in ks]})
 
 
 def vocab_profile_group(g: pd.DataFrame) -> pd.DataFrame:
@@ -160,13 +209,42 @@ def vocab_profile_group(g: pd.DataFrame) -> pd.DataFrame:
 
 
 def fingerprint_ratios_group(g: pd.DataFrame) -> pd.DataFrame:
-    """Per-repo unit-level ratios (A9 subset: dialogue/question/exclamation
-    ratios, fingerprint.py:74-174 analog)."""
+    """Per-repo fingerprint ratios — the reference's full A9 ratio set
+    (style/fingerprint.py:122-135): dialogue / question / exclamation /
+    passive-voice ratios over units, POS ratios over total words."""
     n = len(g)
+    tw = int(g["word_count"].sum()) or 1
     return pd.DataFrame({
         "repo": [g["repo"].iloc[0]], "n_units": [n],
         "dialogue_ratio": [round(float(g["is_dialogue"].sum()) / n, 6)],
         "question_ratio": [round(float(g["is_question"].sum()) / n, 6)],
         "exclamation_ratio": [round(float(g["is_exclamation"].sum()) / n, 6)],
+        "passive_voice_ratio": [round(
+            float((g["voice"] == "passive").sum()) / n, 6)],
         "mean_word_count": [round(float(g["word_count"].mean()), 6)],
+        "noun_ratio": [round(float(g["noun_count"].sum()) / tw, 6)],
+        "verb_ratio": [round(float(g["verb_count"].sum()) / tw, 6)],
+        "adjective_ratio": [round(float(g["adj_count"].sum()) / tw, 6)],
+        "adverb_ratio": [round(float(g["adv_count"].sum()) / tw, 6)],
+        "mean_clause_depth": [round(float(g["clause_depth"].mean()), 6)],
+    })
+
+
+def zscores_group(g: pd.DataFrame) -> pd.DataFrame:
+    """A9 function-word z-score map — the reference computes z-scores of a
+    repo's function-word frequencies against the repo's OWN mean/std over
+    those frequencies (style/fingerprint.py:141-153).  Input: merged
+    (repo, word, cnt) rows for ONE repo (all words; total = sum)."""
+    import numpy as np
+    total = int(g["cnt"].sum())
+    fw = g.set_index("word")["cnt"]
+    freqs = np.array([fw.get(w, 0) / total if total else 0.0
+                      for w in vocab.FUNCTION_WORDS], dtype=float)
+    mean = float(freqs.mean())
+    std = float(freqs.std(ddof=1)) if len(freqs) > 1 else 1.0
+    std = std if std > 0 else 1.0
+    return pd.DataFrame({
+        "repo": g["repo"].iloc[0],
+        "word": list(vocab.FUNCTION_WORDS),
+        "zscore": np.round((freqs - mean) / std, 6),
     })

@@ -204,6 +204,29 @@ DIALOGUE_NON_NAMES: frozenset[str] = frozenset({
     "old", "young", "little", "other", "first", "last",
 })
 
+# --- Voice-profile lexicons (voice/profile.py:105-112,117-123,178-186) —
+# EXACT reference sets.
+FIRST_PERSON_WORDS: frozenset[str] = frozenset({
+    "i", "me", "my", "mine", "myself", "i'm", "i've", "i'll", "i'd"})
+SECOND_PERSON_WORDS: frozenset[str] = frozenset({
+    "you", "your", "yours", "yourself", "you're", "you've", "you'll",
+    "you'd"})
+CONTRACTION_PATTERNS: tuple[str, ...] = (
+    "n't", "'s", "'re", "'ve", "'ll", "'d", "'m")
+VOICE_ARCHAISMS: tuple[str, ...] = (
+    "thee", "thou", "thy", "thine", "ye", "hath", "doth", "art", "wast",
+    "wherefore", "hither", "thither", "whither", "hence", "thence",
+    "ere", "nay", "aye", "yea", "behold", "lo", "alas", "forsooth",
+    "methinks", "mayhap", "perchance", "betwixt", "amongst", "whilst",
+    "verily", "hark", "hearken", "tarry", "prithee",
+)
+VOICE_STOPWORDS: frozenset[str] = frozenset({
+    "the", "a", "an", "and", "or", "but", "in", "on", "at", "to", "for",
+    "of", "with", "by", "is", "are", "was", "were", "be", "been", "being",
+    "have", "has", "had", "do", "does", "did", "will", "would", "could",
+    "should", "may", "might", "must", "shall", "can", "that", "this",
+    "it", "its", "as", "if", "not", "no", "so", "up", "out", "about"})
+
 # --- Code-domain predicate vocabulary (north-star transposition) ---
 CODE_PREDICATES: tuple[str, ...] = ("IMPORTS", "IMPORTS_FROM", "DEFINES", "CALLS", "ALIASES")
 

@@ -72,3 +72,33 @@ def test_readability_formulas():
     assert out["flesch_kincaid_grade"].iloc[0] == round(
         0.39 * asl + 11.8 * asw - 15.59, 2)
     assert out["gunning_fog"].iloc[0] == round(0.4 * (asl + 20.0), 2)
+
+
+def test_style_metrics_stateful_actor_init_once():
+    # ST1: the POS model loads once per actor (__init__), not per batch
+    import pyarrow as pa
+    from raykg.stages import fingerprint as fp
+    before = fp.StyleMetrics.init_count
+    sm = fp.StyleMetrics()
+    t = pa.table({"unit_id": ["u1"], "doc_sha256": ["s"], "repo": ["r"],
+                  "lang": ["txt"],
+                  "text": ["The sword was forged when the king slept."]})
+    for _ in range(3):
+        out = sm(t)
+    assert fp.StyleMetrics.init_count == before + 1
+    row = out.to_pandas().iloc[0]
+    # "when" is a subordinate marker; "was forged" is the passive analog
+    assert row["clause_depth"] == 1
+    assert row["voice"] in ("passive", "mixed")
+    assert row["noun_count"] >= 2          # sword, king
+    assert row["verb_count"] >= 1          # slept (VERB lexicon/suffix)
+
+
+def test_pos_tagger_ladder():
+    from raykg.models.pos import PosTagger
+    tg = PosTagger("en")
+    assert tg.tag("the") == "OTHER"
+    assert tg.tag("slowly") == "ADV"
+    assert tg.tag("glorious") == "ADJ"
+    assert tg.tag("walked") == "VERB"
+    assert tg.tag("sword") == "NOUN"
