@@ -1169,85 +1169,193 @@ def q_kg_fuzzy_links(sf_dir: str):
                             ["mention_text", "entity_id", "score"])
 
 
+def lore_claims(sf_dir: str) -> list[str]:
+    """Deterministic claim set over the generator pools — a shared
+    constant between the Ray checker and the DuckDB oracle (like the
+    regex constants).  Exercises every reachable claim type: relationship
+    (positive / trailing-negation / fabricated), entity-exists (right
+    type, wrong type, unknown entity), attribute, temporal (valid-era and
+    wrong-era), capability, event-order (both orderings), plus one
+    unparseable string."""
+    pools = sc.build_entity_pools()
+    ch = pools["chars"]
+    pl_ = pools["places"]
+    ob = pools["objects"]
+    return [
+        f"{ch[0]} met {ch[1]}.",
+        f"{ch[2]} killed the {ob[0]}, or not.",
+        "Zzyxqv fought Qqtplo.",
+        f"{ch[0]} is a character.",
+        f"{pl_[0]} is a place.",
+        f"{ch[1]} is a place.",
+        "Zzyxqv is a character.",
+        f"{ch[3]} is ancient.",
+        f"{ch[5]} dwelt during the First Age.",
+        "Vexoraq dwelt during the First Age.",
+        f"Only {ch[4]} can wield the {ob[1]}.",
+        f"{ch[5]} destroyed {ob[2]} before {ch[6]}.",
+        f"{ch[6]} destroyed {ob[2]} before {ch[5]}.",
+        "gibberish with no pattern at all",
+    ]
+
+
 def q_lore_check(sf_dir: str):
-    """M19 claim checks (query side, rows-only): deterministic claim set —
-    8 true, 4 negated-true, 3 fabricated — parsed with the shared verb
-    vocabulary and validated against the triples table in one distributed
-    evidence scan (lore/parser.py:136-250, lore/checker.py:255-296)."""
+    """M19 claim checks — full reference routing (parse ladder in
+    raykg/ops/claims.py; checker routing lore/checker.py:255-296) over
+    the materialized nodes / triples / deduped-events / rule-sentence
+    tables, SQL-oracled.  The claim list is a shared deterministic
+    constant; each evidence source is ONE distributed filtered scan (the
+    claim keys are broadcast; only matches reach the driver)."""
     import ray
     from raykg.functions.broadcast import get_cached
     from raykg.ops import claims as cl
-    from raykg.stages import link as lk
+    from raykg.stages import events as ev, link as lk
     p = kg_paths(sf_dir)
     data_dir = sc.corpus_dir(sf_dir)
     alias_index = lk.load_alias_index(
         os.path.join(data_dir, "alias_table.parquet"))
+    fz = lk.fuzzy_index_for(alias_index)
 
-    pred_to_verb = {}
-    for v in sorted(vocab.VERB_PHRASE_TO_PRED):
-        pred_to_verb.setdefault(vocab.VERB_PHRASE_TO_PRED[v], v)
-    # canonical display name per entity id
-    import pyarrow.parquet as pq_
-    at = pq_.read_table(os.path.join(data_dir, "alias_table.parquet"),
-                        columns=["entity_id", "canonical_name"]).to_pandas()
-    id_name = dict(zip(at["entity_id"], at["canonical_name"]))
+    claims = [cl.parse_claim(t) for t in lore_claims(sf_dir)]
 
-    base = (rd.read_parquet(p["triples"],
-                            columns=["subj", "pred", "obj", "mention_count"])
-            .map_batches(lambda df: df[df["subj"].isin(id_name)
-                                       & df["obj"].isin(id_name)],
-                         batch_format="pandas")
-            .sort(["subj", "pred", "obj"]).limit(12).to_pandas())
+    def rid(text: str) -> str:
+        return lk.resolve_key(lk.norm_key(text), alias_index, fz)[0]
 
-    claim_rows = []
-    for i, r in base.iterrows():
-        verb = pred_to_verb.get(r["pred"])
-        if verb is None:
-            continue
-        neg = len(claim_rows) % 3 == 2
-        text = (f"{id_name[r['subj']]} {'never ' if neg else ''}{verb} "
-                f"the {id_name[r['obj']]}.")
-        claim_rows.append(text)
-    claim_rows += [f"{id_name[at['entity_id'].iloc[0]]} married "
-                   f"the {id_name[at['entity_id'].iloc[-1]]}.",
-                   "Zzyx fought the Qqqt.",
-                   f"{id_name[at['entity_id'].iloc[1]]} forged "
-                   f"the {id_name[at['entity_id'].iloc[-2]]}."]
+    # --- evidence scan 1: triples for relationship claims ---
+    rel_keys = {}
+    for i, c in enumerate(claims):
+        if c.claim_type == cl.RELATIONSHIP:
+            rel_keys[(rid(c.subject), c.predicate, rid(c.obj))] = i
+    keys_ref = ray.put(set(rel_keys))
 
-    parsed = {}
-    for text in claim_rows:
-        pc_ = cl.parse_claim(text)
-        if pc_ is None:
-            parsed[text] = None
-            continue
-        s = alias_index.get(pc_.subject.lower(), (pc_.subject.lower(),))[0]
-        o = alias_index.get(pc_.obj.lower(), (pc_.obj.lower(),))[0]
-        parsed[text] = (s, pc_.predicate, o, pc_.negated)
-    keys = {v[:3] for v in parsed.values() if v}
-    keys_ref = ray.put(keys)
-
-    def evidence(df: pd.DataFrame) -> pd.DataFrame:
+    def trip_ev(df: pd.DataFrame) -> pd.DataFrame:
         ks = get_cached(keys_ref)
-        mask = [(s, pr, ob) in ks for s, pr, ob in
+        mask = [(s, pr, o) in ks for s, pr, o in
                 zip(df["subj"], df["pred"], df["obj"])]
         return df[mask][["subj", "pred", "obj", "mention_count"]]
 
-    ev = (rd.read_parquet(p["triples"],
-                          columns=["subj", "pred", "obj", "mention_count"])
-          .map_batches(evidence, batch_format="pandas").to_pandas())
-    ev_map = {(r["subj"], r["pred"], r["obj"]): int(r["mention_count"])
-              for _, r in ev.iterrows()}
+    trip = (rd.read_parquet(p["triples"],
+                            columns=["subj", "pred", "obj",
+                                     "mention_count"])
+            .map_batches(trip_ev, batch_format="pandas").to_pandas())
+    trip_map = {(r["subj"], r["pred"], r["obj"]): int(r["mention_count"])
+                for _, r in trip.iterrows()}
 
-    out = []
-    for text, pv in parsed.items():
-        if pv is None:
-            out.append((text, cl.UNPARSEABLE, 0.0, 0))
-            continue
-        cnt = ev_map.get(pv[:3], 0)
-        status, conf = cl.verdict(cnt > 0, pv[3], cnt)
-        out.append((text, status, conf, cnt))
-    return pd.DataFrame(out, columns=["claim", "status", "confidence",
-                                      "evidence_mentions"])
+    # --- evidence scan 2: nodes for entity-exists claims ---
+    subj_names = {c.subject.lower() for c in claims
+                  if c.claim_type == cl.ENTITY_EXISTS and c.subject}
+    names_ref = ray.put(subj_names)
+
+    def node_ev(df: pd.DataFrame) -> pd.DataFrame:
+        ns = get_cached(names_ref)
+        mask = df["canonical_name"].str.lower().isin(ns)
+        return df[mask][["canonical_name", "entity_type"]]
+
+    nodes = (rd.read_parquet(p["nodes"],
+                             columns=["canonical_name", "entity_type"])
+             .map_batches(node_ev, batch_format="pandas").to_pandas())
+    node_map = {r["canonical_name"].lower(): r["entity_type"]
+                for _, r in nodes.iterrows()}
+
+    # --- evidence scan 3: deduped events for temporal/order claims ---
+    ev_agents = set()
+    for c in claims:
+        if c.claim_type == cl.TEMPORAL and c.subject:
+            ev_agents.add(c.subject.lower())
+        if c.claim_type == cl.EVENT_ORDER:
+            ev_agents.add(c.event1[0].lower())
+            ev_agents.add(c.event2[0].lower())
+    agents_ref = ray.put(ev_agents)
+
+    def ev_ev(df: pd.DataFrame) -> pd.DataFrame:
+        ag = get_cached(agents_ref)
+        mask = df["subj"].str.lower().isin(ag)
+        return df[mask][["subj", "pred", "obj", "era", "year",
+                         "event_key"]]
+
+    evd = (ev.dedup_events(_events_ds(sf_dir))
+           .map_batches(ev_ev, batch_format="pandas").to_pandas())
+    evd["era_ord"] = evd["era"].map(vocab.ERA_ORDER).fillna(-1).astype(int)
+
+    # --- evidence scan 4: rule-shaped sentences for attr/capability ---
+    pairs = [(i, c.subject.lower(), c.value.lower()) for i, c in
+             enumerate(claims)
+             if c.claim_type in (cl.ATTRIBUTE, cl.CAPABILITY)
+             and c.subject and c.value]
+    pairs_ref = ray.put(pairs)
+    import re as re_
+    rule_res = [re_.compile(pat) for pat in vocab.WB_RULE_PATTERNS]
+
+    def rule_ev(df: pd.DataFrame) -> pd.DataFrame:
+        prs = get_cached(pairs_ref)
+        hits = []
+        for text in df.loc[df["lang"] == "txt", "text"]:
+            if not any(rx.search(text) for rx in rule_res):
+                continue
+            low = text.lower()
+            for cid, subj, val in prs:
+                if subj in low and val in low:
+                    hits.append(cid)
+        return pd.DataFrame({"cid": pd.Series(hits, dtype="int64")})
+
+    rules = (rd.read_parquet(p["units"], columns=["lang", "text"])
+             .map_batches(rule_ev, batch_format="pandas").to_pandas())
+    rule_counts = rules["cid"].value_counts().to_dict()
+
+    # --- assemble (driver side, O(#claims)) ---
+    def first_event(agent: str, action: str, patient: str):
+        m = evd[(evd["subj"].str.lower() == agent.lower())
+                & (evd["pred"].str.lower() == action.lower())
+                & (evd["obj"].str.lower() == patient.lower())]
+        if m.empty:
+            return None
+        return m.sort_values(["era_ord", "year", "event_key"]).iloc[0]
+
+    rows = []
+    for i, c in enumerate(claims):
+        status, conf, n_ev = cl.UNKNOWN, 0.0, 0
+        if c.claim_type == cl.RELATIONSHIP:
+            mc = trip_map.get((rid(c.subject), c.predicate, rid(c.obj)))
+            if mc is not None:
+                n_ev = mc
+                status = cl.INVALID if c.negated else cl.VALID
+                conf = cl.clamp_confidence(0.95, mc)
+        elif c.claim_type == cl.ENTITY_EXISTS:
+            et = node_map.get(c.subject.lower())
+            if et is not None:
+                n_ev = 1
+                if c.value.lower() in et:
+                    status, conf = cl.VALID, 0.9
+        elif c.claim_type == cl.TEMPORAL and c.subject:
+            mine = evd[evd["subj"].str.lower() == c.subject.lower()]
+            era = c.time_period.split(" ")[0]
+            in_era = mine[mine["era"] == era]
+            if len(in_era):
+                status, conf, n_ev = cl.VALID, 0.9, len(in_era)
+            elif len(mine):
+                status, conf, n_ev = cl.INVALID, 0.9, len(mine)
+        elif c.claim_type == cl.CAPABILITY:
+            n_ev = int(rule_counts.get(i, 0))
+            if n_ev:
+                status, conf = cl.PLAUSIBLE, 0.6
+        elif c.claim_type == cl.ATTRIBUTE:
+            n_ev = int(rule_counts.get(i, 0))
+            if n_ev:
+                status, conf = cl.VALID, 0.7
+        elif c.claim_type == cl.EVENT_ORDER:
+            e1 = first_event(*c.event1)
+            e2 = first_event(*c.event2)
+            if e1 is not None and e2 is not None:
+                k1 = (int(e1["era_ord"]), int(e1["year"]))
+                k2 = (int(e2["era_ord"]), int(e2["year"]))
+                if k1 != k2:
+                    actual = "before" if k1 < k2 else "after"
+                    status = cl.VALID if actual == c.ordering else cl.INVALID
+                    conf, n_ev = 0.85, 2
+        rows.append((c.text, c.claim_type, status, round(conf, 6),
+                     n_ev))
+    return pd.DataFrame(rows, columns=["claim", "claim_type", "status",
+                                       "confidence", "n_evidence"])
 
 
 def q_ann_lsh(sf_dir: str):
@@ -2588,6 +2696,157 @@ FROM n GROUP BY 2
 UNION ALL
 SELECT 'edge', pred, CAST(count(*) AS BIGINT) FROM t GROUP BY 2"""
 
+    if name == "lore_check":
+        from raykg.ops import claims as cl
+        claims = [cl.parse_claim(t) for t in lore_claims(sf_dir)]
+        era_case_ev = ("CASE era " + " ".join(
+            f"WHEN '{e}' THEN {i}" for e, i in vocab.ERA_ORDER.items()) +
+            " ELSE -1 END")
+        rule_match = " OR ".join(
+            f"regexp_matches(text, '{pat}')"
+            for pat in vocab.WB_RULE_PATTERNS)
+
+        def S(x):
+            return "NULL" if x is None else _sq(x)
+
+        vals = []
+        for i, c in enumerate(claims):
+            e1 = c.event1 or (None, None, None)
+            e2 = c.event2 or (None, None, None)
+            period_era = (c.time_period.split(" ")[0]
+                          if c.time_period else None)
+            vals.append(
+                f"({i}, {S(c.text)}, {S(c.claim_type)}, {S(c.subject)}, "
+                f"{S(c.predicate)}, {S(c.obj)}, {S(c.value)}, "
+                f"{S(period_era)}, {S(c.ordering)}, {S(e1[0])}, "
+                f"{S(e1[1])}, {S(e1[2])}, {S(e2[0])}, "
+                f"{'true' if c.negated else 'false'})")
+        values = ",\n ".join(vals)
+        trip_sql = oracle_for("kg_triples", sf_dir)
+        nodes_sql2 = oracle_for("kg_nodes", sf_dir)
+        evd_sql = oracle_for("events_dedup", sf_dir)
+        strip = "regexp_replace(lower(c.obj), '^(the |a |an )', '')"
+        slug_s = _slug("c.subject")
+        slug_o = f"regexp_replace(replace({strip}, ' ', '_'), '[^a-z0-9_]', '', 'g')"
+        return f"""WITH
+claims(cid, claim, claim_type, subject, predicate, obj, value,
+       period_era, ordering, a1, act, pat, a2, negated) AS (VALUES
+ {values}),
+trip AS MATERIALIZED ({trip_sql}),
+nds AS MATERIALIZED ({nodes_sql2}),
+evd0 AS MATERIALIZED ({evd_sql}),
+evd AS (SELECT *, {era_case_ev} AS era_ord FROM evd0),
+rsent AS MATERIALIZED (
+  WITH {U}
+  SELECT lower(text) AS low FROM units
+  WHERE lang = 'txt' AND ({rule_match})),
+ak2 AS (
+  SELECT entity_id, lower(canonical_name) AS k
+  FROM read_parquet('{sc.corpus_dir(sf_dir)}/alias_table.parquet')
+  UNION ALL
+  SELECT entity_id, lower(unnest(aliases)) AS k
+  FROM read_parquet('{sc.corpus_dir(sf_dir)}/alias_table.parquet')),
+routed AS (
+  SELECT c.*,
+    CASE WHEN c.claim_type = 'relationship' THEN (
+      SELECT t.mention_count FROM trip t
+      WHERE t.subj = coalesce(
+              (SELECT entity_id FROM ak2 WHERE k = lower(c.subject)
+               LIMIT 1), {slug_s})
+        AND t.pred = c.predicate
+        AND t.obj = coalesce(
+              (SELECT entity_id FROM ak2 WHERE k = lower(c.obj)
+               LIMIT 1),
+              (SELECT entity_id FROM ak2 WHERE k = {strip} LIMIT 1),
+              {slug_o}))
+    END AS rel_mc,
+    CASE WHEN c.claim_type = 'entity_exists' THEN (
+      SELECT entity_type FROM nds
+      WHERE lower(canonical_name) = lower(c.subject) LIMIT 1)
+    END AS node_type,
+    CASE WHEN c.claim_type = 'temporal' THEN (
+      SELECT count(*) FROM evd
+      WHERE lower(agent) = lower(c.subject) AND era = c.period_era)
+    END AS n_in_era,
+    CASE WHEN c.claim_type = 'temporal' THEN (
+      SELECT count(*) FROM evd WHERE lower(agent) = lower(c.subject))
+    END AS n_any_era,
+    CASE WHEN c.claim_type IN ('capability', 'attribute') THEN (
+      SELECT count(*) FROM rsent
+      WHERE contains(low, lower(c.subject))
+        AND contains(low, lower(c.value)))
+    END AS n_rules,
+    CASE WHEN c.claim_type = 'event_order' THEN (
+      SELECT min(era_ord * 100000 + year) FROM evd
+      WHERE lower(agent) = lower(c.a1) AND lower(action) = lower(c.act)
+        AND lower(patient) = lower(c.pat))
+    END AS ord1,
+    CASE WHEN c.claim_type = 'event_order' THEN (
+      SELECT min(era_ord * 100000 + year) FROM evd
+      WHERE lower(agent) = lower(c.a2) AND lower(action) = lower(c.act)
+        AND lower(patient) = lower(c.pat))
+    END AS ord2
+  FROM claims c)
+SELECT claim, claim_type,
+  CASE claim_type
+    WHEN 'relationship' THEN
+      CASE WHEN rel_mc IS NOT NULL THEN
+        CASE WHEN negated THEN 'INVALID' ELSE 'VALID' END
+      ELSE 'UNKNOWN' END
+    WHEN 'entity_exists' THEN
+      CASE WHEN node_type IS NOT NULL
+                AND contains(node_type, lower(value)) THEN 'VALID'
+      ELSE 'UNKNOWN' END
+    WHEN 'temporal' THEN
+      CASE WHEN n_in_era > 0 THEN 'VALID'
+           WHEN n_any_era > 0 THEN 'INVALID'
+           ELSE 'UNKNOWN' END
+    WHEN 'capability' THEN
+      CASE WHEN n_rules > 0 THEN 'PLAUSIBLE' ELSE 'UNKNOWN' END
+    WHEN 'attribute' THEN
+      CASE WHEN n_rules > 0 THEN 'VALID' ELSE 'UNKNOWN' END
+    WHEN 'event_order' THEN
+      CASE WHEN ord1 IS NOT NULL AND ord2 IS NOT NULL
+                AND ord1 <> ord2 THEN
+        CASE WHEN (CASE WHEN ord1 < ord2 THEN 'before' ELSE 'after' END)
+                  = ordering THEN 'VALID' ELSE 'INVALID' END
+      ELSE 'UNKNOWN' END
+    ELSE 'UNKNOWN' END AS status,
+  CASE claim_type
+    WHEN 'relationship' THEN
+      CASE WHEN rel_mc IS NOT NULL THEN
+        round(greatest(0.5, least(0.95,
+              0.95 * least(1.0, 0.5 + 0.1 * rel_mc))), 6)
+      ELSE 0.0 END
+    WHEN 'entity_exists' THEN
+      CASE WHEN node_type IS NOT NULL
+                AND contains(node_type, lower(value)) THEN 0.9
+      ELSE 0.0 END
+    WHEN 'temporal' THEN
+      CASE WHEN n_in_era > 0 OR n_any_era > 0 THEN 0.9 ELSE 0.0 END
+    WHEN 'capability' THEN
+      CASE WHEN n_rules > 0 THEN 0.6 ELSE 0.0 END
+    WHEN 'attribute' THEN
+      CASE WHEN n_rules > 0 THEN 0.7 ELSE 0.0 END
+    WHEN 'event_order' THEN
+      CASE WHEN ord1 IS NOT NULL AND ord2 IS NOT NULL
+                AND ord1 <> ord2 THEN 0.85 ELSE 0.0 END
+    ELSE 0.0 END AS confidence,
+  CAST(CASE claim_type
+    WHEN 'relationship' THEN coalesce(rel_mc, 0)
+    WHEN 'entity_exists' THEN
+      CASE WHEN node_type IS NOT NULL THEN 1 ELSE 0 END
+    WHEN 'temporal' THEN
+      CASE WHEN n_in_era > 0 THEN n_in_era ELSE coalesce(n_any_era, 0)
+      END
+    WHEN 'capability' THEN coalesce(n_rules, 0)
+    WHEN 'attribute' THEN coalesce(n_rules, 0)
+    WHEN 'event_order' THEN
+      CASE WHEN ord1 IS NOT NULL AND ord2 IS NOT NULL
+                AND ord1 <> ord2 THEN 2 ELSE 0 END
+    ELSE 0 END AS BIGINT) AS n_evidence
+FROM routed"""
+
     if name == "kg_fuzzy_links":
         return (f"WITH {U},{M},{R} "
                 "SELECT DISTINCT mention_text, entity_id, "
@@ -2765,4 +3024,4 @@ QUERY_FNS = {
 }
 
 # queries with no SQL-expressible oracle → driver records rows-only check
-NO_ORACLE = frozenset({"dedup_minhash_pairs", "simhash", "lore_check", "ann_lsh"})
+NO_ORACLE = frozenset({"dedup_minhash_pairs", "simhash", "ann_lsh"})

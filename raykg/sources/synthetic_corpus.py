@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 from raykg import vocab
 from raykg.functions.textnorm import sha256_hex, slugify
 
-GEN_VERSION = 10
+GEN_VERSION = 11
 CACHE_ROOT = "/tmp/raykg_data"
 
 # ---------------------------------------------------------------- name pools
@@ -67,6 +67,29 @@ _FILLER = ("the road was long and the grass grew tall under a pale sky . "
            "rain fell upon the hills and the wind carried no sound . "
            "night came slowly over the quiet valley and all was still").split()
 
+
+
+# Deterministic chronicle planted into every prose file — guaranteed
+# evidence for the lore_check claim routing (see queries.lore_claims).
+# "Vexoraq"/"Sunlamp" are deliberately outside every pool so their event
+# history is exactly the planted one (checked in _assert_fuzzy_guarantees
+# via PLANTED_STRANGERS).
+CHRONICLE = ("Aldric met Beldric. Cordric killed the Sunstone. "
+             "In the First Age, year 100, Fendric destroyed the "
+             "Starstone. In the Second Age, year 50, Galdric destroyed "
+             "the Starstone. In the Third Age, year 10, Vexoraq "
+             "destroyed the Sunlamp. "
+             "Only Eldric can wield the Moonstone. "
+             "By ancient custom the folk of Durdric always honor the "
+             "oath.")
+CHRONICLE_TRUTH = (
+    ("aldric", "MET", "beldric"),
+    ("cordric", "KILLED", "sunstone"),
+    ("fendric", "DESTROYED", "starstone"),
+    ("galdric", "DESTROYED", "starstone"),
+    ("vexoraq", "DESTROYED", "sunlamp"),
+)
+PLANTED_STRANGERS = ("Vexoraq", "Sunlamp", "Zzyxqv", "Qqtplo")
 
 def _combos(pres: list[str], sufs: list[str], n: int) -> list[str]:
     out = []
@@ -180,7 +203,7 @@ def _assert_fuzzy_guarantees(alias_rows, char_typos, unknown_forms) -> None:
         assert above == [ik], (typo, above)
         dels = sorted(k for k in keys if _is_one_deletion(tk, k))
         assert dels == [ik], (typo, dels)
-    for forms in unknown_forms:
+    for forms in list(unknown_forms) + [[w] for w in PLANTED_STRANGERS]:
         for u in forms:
             uk = norm_key(u)
             assert all(fuzzy_ratio(uk, k) < 85.0 for k in keys), u
@@ -368,6 +391,13 @@ class _FileGen:
         # sample merges these unknowns into their seed characters)
         lore = " ".join(f"{u}, also known as {s}, rested awhile."
                         for u, s in self.pools["unknown_seed_aliases"])
+        # deterministic chronicle: plants the evidence the lore_check
+        # claim set routes against (relationship, events with eras, a
+        # capability rule, an attribute rule) — every claim-type branch
+        # has guaranteed, order-independent evidence
+        chron = CHRONICLE
+        for sid, pred, oid in CHRONICLE_TRUTH:
+            self.truth.append((sid, pred, oid))
         for p in range(n_paras):
             if p % 6 == 0:
                 chapter += 1
@@ -379,6 +409,7 @@ class _FileGen:
             n_sent = int(self.rng.randint(3, 7))
             paras.append(" ".join(self.sentence() for _ in range(n_sent)))
         paras.append(lore)
+        paras.append(chron)
         return "\n\n".join(paras) + "\n"
 
     def code_content(self, modname: str) -> str:

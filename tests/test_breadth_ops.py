@@ -87,21 +87,51 @@ def test_distinctiveness_formula():
     assert score(10, 0, 100) == 10.0
 
 
-def test_claim_parsing_and_verdict():
+def test_claim_parse_ladder():
+    # reference lore/parser.py:136-250 pattern ladder, type by type
     from raykg.ops import claims as cl
     c = cl.parse_claim("Aldric killed the Belmor.")
-    assert (c.subject, c.predicate, c.obj, c.negated) == \
-        ("Aldric", "KILLED", "Belmor", False)
-    c = cl.parse_claim("Aldric never spoke to Belmor.")
-    assert c.negated and c.predicate == "SPOKE_TO"
-    assert cl.parse_claim("gibberish with no verb") is None
-    # routing (checker.py:255-296): found+positive → SUPPORTED,
-    # found+negated → CONTRADICTED, absent → NO_EVIDENCE
-    assert cl.verdict(True, False, 3)[0] == cl.SUPPORTED
-    assert cl.verdict(True, True, 3)[0] == cl.CONTRADICTED
-    assert cl.verdict(False, False, 0) == (cl.NO_EVIDENCE, 0.5)
+    assert (c.claim_type, c.subject, c.predicate, c.obj) == (
+        cl.RELATIONSHIP, "Aldric", "KILLED", "the Belmor")
+    c = cl.parse_claim("Aldric killed the Belmor, or not.")
+    assert c.negated
+    c = cl.parse_claim("Aldric is a character.")
+    assert (c.claim_type, c.attribute, c.value) == (
+        cl.ENTITY_EXISTS, "type", "character")
+    c = cl.parse_claim("Durdric is ancient.")
+    assert (c.claim_type, c.value) == (cl.ATTRIBUTE, "ancient")
+    c = cl.parse_claim("Fendric dwelt during the First Age.")
+    assert (c.claim_type, c.subject, c.time_period) == (
+        cl.TEMPORAL, "Fendric", "First Age")
+    c = cl.parse_claim("Only Eldric can wield the Moonstone.")
+    assert c.claim_type == cl.CAPABILITY and c.subject == "Only Eldric"
+    c = cl.parse_claim("Fendric destroyed Starstone before Galdric.")
+    assert c.claim_type == cl.EVENT_ORDER and c.ordering == "before"
+    # reference quirk pinned: event2 copies event1's action+patient
+    assert c.event2 == ("Galdric", "destroyed", "Starstone")
+    # reference quirk pinned: the ATTRIBUTE pattern shadows LOCATION
+    c = cl.parse_claim("Mirewood is in the north.")
+    assert c.claim_type == cl.ATTRIBUTE and c.value == "in"
+    c = cl.parse_claim("gibberish with no pattern at all")
+    assert c.claim_type == cl.UNKNOWN_TYPE
     # confidence clamp (checker.py:27-56)
-    assert 0.5 <= cl.verdict(True, False, 1)[1] <= 0.95
+    assert 0.5 <= cl.clamp_confidence(0.95, 1) <= 0.95
+
+
+def test_lore_check_routing(ray_session):
+    # every checker branch produces its reference status on the planted
+    # chronicle evidence (lore/checker.py:255-296)
+    from raykg.pipelines import queries as Q
+    df = Q.q_lore_check("/root/testdata/sf0.001")
+    by_type = df.groupby("claim_type")["status"].apply(set).to_dict()
+    assert {"VALID", "INVALID", "UNKNOWN"} <= by_type["relationship"]
+    assert {"VALID", "UNKNOWN"} <= by_type["entity_exists"]
+    assert by_type["attribute"] == {"VALID"}
+    assert by_type["temporal"] == {"VALID", "INVALID"}
+    assert by_type["capability"] == {"PLAUSIBLE"}
+    assert by_type["event_order"] == {"VALID", "INVALID"}
+    assert by_type["unknown"] == {"UNKNOWN"}
+
 
 
 def test_lsh_bucketing_on_clustered_data():
