@@ -184,3 +184,19 @@ def first_by(ds: rd.Dataset, keys: Sequence[str], order_by: Sequence[str],
                 .drop_duplicates(subset=keys, keep="first"))
 
     return grouped_apply(ds, keys, pick, pick, num_buckets)
+
+
+def coalesced_join(left: rd.Dataset, right: rd.Dataset, on,
+                   join_type: str = "inner",
+                   num_partitions: int = 8) -> rd.Dataset:
+    """``Dataset.join`` + repartition of the output.
+
+    Ray 2.49's hash join emits EMPTY blocks with no schema
+    (``PandasBlockSchema(names=[])``) for empty partitions; any downstream
+    join / shuffle consuming them dies with ``ArrowInvalid: No match or
+    multiple matches for key field``.  Repartitioning merges the empties
+    into schema-bearing blocks.  Use this for every join whose output
+    feeds another join or aggregation."""
+    out = left.join(right, join_type=join_type,
+                    num_partitions=num_partitions, on=on)
+    return out.repartition(max(2, num_partitions // 2))

@@ -158,8 +158,17 @@ def pairs_from_bucket(g: pd.DataFrame, max_bucket: int = 200
                       ) -> pd.DataFrame:
     """Candidate pairs within one bucket (doc_a < doc_b).  Buckets larger
     than ``max_bucket`` are truncated after sorting by doc_id (hot-bucket
-    guard — log/record in real runs)."""
-    ids = sorted(set(g["doc_id"]))[:max_bucket]
+    guard); truncation is NOT silent — every dropped doc is logged with
+    the bucket size so callers can see the recall cap."""
+    all_ids = sorted(set(g["doc_id"]))
+    ids = all_ids[:max_bucket]
+    if len(all_ids) > max_bucket:
+        import logging
+        logging.getLogger(__name__).warning(
+            "LSH bucket truncated: %d docs > max_bucket=%d (%d dropped) — "
+            "near-dup recall is capped for this bucket; consider a "
+            "secondary-hash bucket split",
+            len(all_ids), max_bucket, len(all_ids) - max_bucket)
     a, b = [], []
     for i in range(len(ids)):
         for j in range(i + 1, len(ids)):

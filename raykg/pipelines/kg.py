@@ -186,10 +186,26 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
         return rd.read_parquet(corpus_path, override_num_blocks=n_blocks)
 
     # ---- stage: units (corpus → unit explode) ----
-    def write_units(tmp: str):
-        split.units_dataset(read_corpus()).write_parquet(tmp)
+    # PER-PARTITION checkpoints (north rule): the corpus part files are
+    # hashed into K partitions; each writes + commits independently, so a
+    # mid-stage kill resumes at the partition level (only unfinished
+    # partitions recompute — tests/test_resume_kill.py kills mid-units).
+    import glob as glob_
+    corpus_files = sorted(glob_.glob(os.path.join(corpus_path,
+                                                  "*.parquet")))
+    n_parts = max(1, min(8, len(corpus_files)))
+    file_groups = [corpus_files[i::n_parts] for i in range(n_parts)]
 
-    units_dir = lineage.run_stage(out_root, "units", write_units, force)
+    def write_units_partition(pid: str, tmp: str):
+        files = file_groups[int(pid)]
+        ds = rd.read_parquet(files,
+                             override_num_blocks=max(2, n_blocks // n_parts))
+        split.units_dataset(ds).write_parquet(tmp)
+        return {"n_input_files": len(files)}
+
+    units_dir = lineage.run_partitioned_stage(
+        out_root, "units", [str(i) for i in range(n_parts)],
+        write_units_partition, force)
 
     # ---- stage: extract (prose units + code files, one pass each) ----
     def write_extract(tmp: str):
@@ -401,8 +417,8 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
                        "mention_count", "n_units", "passage_ids",
                        "confidence"]]
 
-        (merged.join(nodes_s, join_type="left_outer", num_partitions=8,
-                     on=("subj",))
+        (hashagg.coalesced_join(merged, nodes_s, on=("subj",),
+                                join_type="left_outer")
          .join(nodes_o, join_type="left_outer", num_partitions=8,
                on=("obj",))
          .map_batches(finish, batch_format="pandas")

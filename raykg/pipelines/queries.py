@@ -525,8 +525,8 @@ def _verify_pairs_by_join(pairs, docs):
         out = df.assign(jaccard=j)[["doc_a", "doc_b", "jaccard"]]
         return out[out["jaccard"] >= dd.JACCARD_THRESHOLD]
 
-    return (pairs.join(ta, join_type="inner", num_partitions=8,
-                       on=("doc_a",))
+    from raykg.functions import hashagg as _ha
+    return (_ha.coalesced_join(pairs, ta, on=("doc_a",))
             .join(tb, join_type="inner", num_partitions=8, on=("doc_b",))
             .map_batches(verify, batch_format="pandas")
             .select_columns(["doc_a", "doc_b", "jaccard"]))
@@ -559,15 +559,16 @@ def q_dedup_jaccard_pairs(sf_dir: str):
     # whole explode→df→prefix chain recomputes twice); size ≈ 40% of the
     # shingle table — object-store-resident build side, spills if needed
     prefixes = hashagg.grouped_apply(
-        sh.select_columns(["doc_id", "shingle", "n"])
-        .join(df_tbl, join_type="inner", num_partitions=16, on=("shingle",)),
+        hashagg.coalesced_join(
+            sh.select_columns(["doc_id", "shingle", "n"]), df_tbl,
+            on=("shingle",), num_partitions=16),
         ["doc_id"], dd.prefix_rows_group, coalesce=16).materialize()
 
     right = prefixes.map_batches(
         lambda df: df.rename(columns={"doc_id": "doc_b", "n": "nb"}),
         batch_format="pandas")
-    cand = (prefixes.join(right, join_type="inner", num_partitions=16,
-                          on=("shingle",))
+    cand = (hashagg.coalesced_join(prefixes, right, on=("shingle",),
+                                   num_partitions=16)
             .map_batches(
                 lambda df: df[(df["doc_id"] < df["doc_b"])
                               & (df[["n", "nb"]].max(axis=1)
@@ -813,9 +814,10 @@ def q_kg_merge_candidates(sf_dir: str):
         out["merge"] = type_ok & pd.Series(name_ok, index=out.index)
         return out[["entity_a", "entity_b", "pair_count", "merge"]]
 
-    return (q_kg_cooccurrence(sf_dir)
-            .join(side("a"), join_type="left_outer", num_partitions=8,
-                  on=("entity_a",))
+    from raykg.functions import hashagg
+    return (hashagg.coalesced_join(q_kg_cooccurrence(sf_dir), side("a"),
+                                   on=("entity_a",),
+                                   join_type="left_outer")
             .join(side("b"), join_type="left_outer", num_partitions=8,
                   on=("entity_b",))
             .map_batches(decide, batch_format="pandas"))
@@ -905,8 +907,7 @@ def q_voice_distinctive(sf_dir: str):
                               kind="mergesort")
                 .groupby("speaker", sort=False).head(5))
 
-    scored = (counts.join(word_totals, join_type="inner", num_partitions=8,
-                          on=("word",))
+    scored = (hashagg.coalesced_join(counts, word_totals, on=("word",))
               .map_batches(score, batch_format="pandas"))
     return hashagg.grouped_apply(scored, ["speaker"], topk)
 
@@ -938,6 +939,63 @@ def q_wb_rules(sf_dir: str):
 
     return hashagg.grouped_apply(q_wb_passages(sf_dir), ["category"], rollup,
                                  num_buckets=8)
+
+
+
+def q_wb_cultures(sf_dir: str):
+    """A16 cultural profiles (worldbible/extractor.py:302-349): culture
+    passages grouped by folk; groups with >= 2 passages become profiles
+    with a passage count and first sighting."""
+    from raykg.functions import hashagg
+    from raykg.ops import worldbible as wb
+    p = kg_paths(sf_dir)
+    ds = rd.read_parquet(p["units"], columns=["unit_id", "lang", "text"])
+    rows = ds.map_batches(wb.cultures_partial_batch, batch_format="pyarrow")
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby("people", sort=False)
+               .agg(n_passages=("unit_id", "nunique"),
+                    first_unit=("unit_id", "min")).reset_index())
+        return agg[agg["n_passages"] >= vocab.WB_MIN_CULTURE_PASSAGES]
+
+    return hashagg.grouped_apply(rows, ["people"], rollup, num_buckets=8)
+
+
+def q_wb_magic(sf_dir: str):
+    """A16 magic system (worldbible/extractor.py:352-382): abilities vs
+    limitations from magic passages, top 5 each by unit_id (the
+    deterministic stand-in for the reference's document order)."""
+    from raykg.functions import hashagg
+    from raykg.ops import worldbible as wb
+    p = kg_paths(sf_dir)
+    ds = rd.read_parquet(p["units"], columns=["unit_id", "lang", "text"])
+    rows = ds.map_batches(wb.magic_rows_batch, batch_format="pyarrow")
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["kind", "unit_id"], kind="mergesort")
+                .groupby("kind", sort=False).head(vocab.WB_MAGIC_TOP))
+
+    return hashagg.grouped_apply(rows, ["kind"], topk, num_buckets=4)
+
+
+def q_wb_geography(sf_dir: str):
+    """A16 geography entries (worldbible/extractor.py:385-416): named
+    locations from geography passages, <= 20 entries (name asc — the
+    deterministic stand-in for the reference's first-seen order)."""
+    from raykg.functions import hashagg
+    from raykg.ops import worldbible as wb
+    p = kg_paths(sf_dir)
+    ds = rd.read_parquet(p["units"], columns=["unit_id", "lang", "text"])
+    rows = ds.map_batches(wb.geography_rows_batch, batch_format="pyarrow")
+    counts = hashagg.grouped_apply(
+        rows, ["name"],
+        lambda g: (g.groupby("name", sort=False)
+                   .agg(n_passages=("unit_id", "nunique")).reset_index()),
+        num_buckets=8)
+    return (counts.sort("name").limit(vocab.WB_GEO_LIMIT)
+            .map_batches(lambda df: df.assign(
+                geo_id=df["name"].str.lower().str.replace(" ", "_"))[
+                ["geo_id", "name", "n_passages"]], batch_format="pandas"))
 
 
 def q_event_entity_links(sf_dir: str):
@@ -2687,6 +2745,59 @@ SELECT category, count(DISTINCT unit_id) AS n_units,
        min(rule_text) AS sample_rule
 FROM wb_passages GROUP BY category HAVING count(DISTINCT unit_id) >= 2"""
 
+    if name == "wb_cultures":
+        return f"""WITH {U},{wb_passages_sql},
+cu AS (
+  SELECT lower(regexp_extract(u.text, '{vocab.WB_FOLK_PATTERN}', 1))
+             AS people,
+         u.unit_id
+  FROM units u JOIN wb_passages w
+    ON w.unit_id = u.unit_id AND w.category = 'culture'
+  WHERE regexp_matches(u.text, '{vocab.WB_FOLK_PATTERN}'))
+SELECT people, count(DISTINCT unit_id) AS n_passages,
+       min(unit_id) AS first_unit
+FROM cu GROUP BY 1
+HAVING count(DISTINCT unit_id) >= {vocab.WB_MIN_CULTURE_PASSAGES}"""
+
+    if name == "wb_magic":
+        limit_w = " OR ".join(f"contains(low, '{w}')"
+                              for w in vocab.WB_MAGIC_LIMIT_WORDS)
+        abil_w = " OR ".join(f"contains(low, '{w}')"
+                             for w in vocab.WB_MAGIC_ABILITY_WORDS)
+        return f"""WITH {U},{wb_passages_sql},
+mg AS (
+  SELECT u.unit_id, u.text, lower(u.text) AS low
+  FROM units u JOIN wb_passages w
+    ON w.unit_id = u.unit_id AND w.category = 'magic'),
+kinds AS (
+  SELECT unit_id, substr(text, 1, 100) AS snippet,
+         CASE WHEN {limit_w} THEN 'limitation'
+              WHEN {abil_w} THEN 'ability' END AS kind
+  FROM mg)
+SELECT kind, unit_id, snippet FROM (
+  SELECT *, row_number() OVER (PARTITION BY kind ORDER BY unit_id) AS rn
+  FROM kinds WHERE kind IS NOT NULL)
+WHERE rn <= {vocab.WB_MAGIC_TOP}"""
+
+    if name == "wb_geography":
+        loc_extract = _trim(
+            f"regexp_extract(u.text, '(?i){vocab.WB_LOC_PATTERN}', 2)")
+        return f"""WITH {U},{wb_passages_sql},
+ge AS (
+  SELECT {loc_extract}
+             AS name,
+         u.unit_id
+  FROM units u JOIN wb_passages w
+    ON w.unit_id = u.unit_id AND w.category = 'geography'
+  WHERE regexp_matches(u.text, '(?i){vocab.WB_LOC_PATTERN}')),
+gg AS (
+  SELECT name, count(DISTINCT unit_id) AS n_passages
+  FROM ge
+  WHERE length(name) > 2 AND regexp_matches(name, '^[A-Z]')
+  GROUP BY 1)
+SELECT replace(lower(name), ' ', '_') AS geo_id, name, n_passages
+FROM gg ORDER BY name LIMIT {vocab.WB_GEO_LIMIT}"""
+
     if name == "kg_graph_stats":
         return f"""WITH n AS ({oracle_for('kg_nodes', sf_dir)}),
 t AS ({oracle_for('kg_triples', sf_dir)})
@@ -2984,6 +3095,9 @@ QUERY_FNS = {
     "style_type_distribution": q_style_type_distribution,
     "style_similarity": q_style_similarity,
     "voice_top_words": q_voice_top_words,
+    "wb_cultures": q_wb_cultures,
+    "wb_magic": q_wb_magic,
+    "wb_geography": q_wb_geography,
     "dialogue_spans": q_dialogue_spans,
     "voice_profiles": q_voice_profiles,
     "events": q_events,

@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 from raykg import vocab
 from raykg.functions.textnorm import sha256_hex, slugify
 
-GEN_VERSION = 11
+GEN_VERSION = 13
 CACHE_ROOT = "/tmp/raykg_data"
 
 # ---------------------------------------------------------------- name pools
@@ -341,7 +341,7 @@ class _FileGen:
     def sent_rule(self) -> str:
         """World-building rule sentence (worldbible/patterns.py:90-105
         rule-shaped statements analog)."""
-        k = self.rng.randint(4)
+        k = self.rng.randint(5)
         o, _ = self.pick_obj()
         p, _ = self.pick_place()
         s, _ = self.pick_char()
@@ -352,7 +352,19 @@ class _FileGen:
             return f"No one may enter {p} after dark."
         if k == 2:
             return f"The {o} must never leave {p}."
+        if k == 3:
+            # magic-limitation shape (A16: 'forbidden' + power keyword)
+            return f"The {o} is forbidden power and must never leave {p}."
         return f"By ancient custom the folk of {p} always honor the oath."
+
+    def sent_geo(self) -> str:
+        """A16 geography shape: '<Place> lies near <Place>' + a geography
+        keyword so the unit categorizes as geography."""
+        p1, _ = self.pick_place()
+        p2, _ = self.pick_place()
+        while p2 == p1:
+            p2, _ = self.pick_place()
+        return f"{p1} lies near {p2} beyond the old gate."
 
     def sent_filler(self) -> str:
         n = self.rng.randint(6, 14)
@@ -381,6 +393,8 @@ class _FileGen:
             return self.sent_title()
         if r < 0.78:
             return self.sent_rule()
+        if r < 0.83:
+            return self.sent_geo()
         return self.sent_filler()
 
     def prose_content(self) -> str:
@@ -499,9 +513,13 @@ def _gen_chunk(pools: dict, lo: int, hi: int, n_repos: int
 
 
 def _generate_chunks(pools: dict, n: int, n_repos: int,
-                     chunk: int = 2000) -> list[tuple[pa.Table, list]]:
+                     chunk: int | None = None) -> list[tuple[pa.Table, list]]:
     """Deterministic corpus chunks; parallel Ray tasks when a Ray session
-    exists (generation is per-index pure), serial otherwise."""
+    exists (generation is per-index pure), serial otherwise.  Chunking
+    guarantees >= 8 corpus part files even at tiny scale factors so the
+    per-partition resume path always has real partitions to skip."""
+    if chunk is None:
+        chunk = max(3, min(2000, -(-n // 8)))
     bounds = [(lo, min(lo + chunk, n)) for lo in range(0, n, chunk)]
     try:
         import ray

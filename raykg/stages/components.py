@@ -26,7 +26,10 @@ import ray.data as rd
 
 
 def _dedup_edges(edges_ds: rd.Dataset) -> rd.Dataset:
-    """Canonical undirected distinct edges (u < v), distributed dedup."""
+    """Canonical undirected distinct edges (u < v) via the bucketed
+    two-phase hashagg (per-batch combiner → bucket shuffle → vectorized
+    final) — never a per-group Python callback."""
+    from raykg.functions import hashagg
 
     def canon(df: pd.DataFrame) -> pd.DataFrame:
         u = df[["u", "v"]].min(axis=1)
@@ -35,9 +38,8 @@ def _dedup_edges(edges_ds: rd.Dataset) -> rd.Dataset:
         out = out[out["u"] != out["v"]]
         return out.drop_duplicates()
 
-    canon_ds = edges_ds.map_batches(canon, batch_format="pandas")
-    return canon_ds.groupby(["u", "v"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    return hashagg.distinct(
+        edges_ds.map_batches(canon, batch_format="pandas"), ["u", "v"])
 
 
 def union_find(pairs: list[tuple[str, str]], key=None) -> dict[str, str]:
@@ -73,13 +75,27 @@ def components_driver(edges_ds: rd.Dataset) -> dict[str, str]:
     return union_find(pairs)
 
 
+def _min_rep_partial(df: pd.DataFrame) -> pd.DataFrame:
+    import polars as pl
+    return (pl.from_pandas(df[["node", "rep"]])
+            .group_by("node").agg(rep=pl.col("rep").min()).to_pandas())
+
+
 def components_distributed(edges_ds: rd.Dataset, max_iter: int = 20,
-                           num_partitions: int = 16) -> rd.Dataset:
+                           num_partitions: int = 16,
+                           strict: bool = True) -> rd.Dataset:
     """Min-label propagation over Ray Data only: returns Dataset(node, rep).
 
     Each round: labels(node) = min(labels(node), min over neighbors'
-    labels).  Converges when no label changes; bounded by ``max_iter``.
-    """
+    labels) — computed on the bucketed hashagg primitives (per-batch
+    polars combiner → bucket shuffle → vectorized per-bucket final), so
+    per-round cost is O(edges) vectorized work with no per-node Python
+    callbacks.  Converges in O(component diameter) rounds; ``strict``
+    raises if ``max_iter`` rounds still changed labels (silent partial
+    clustering is never returned)."""
+    import logging
+
+    from raykg.functions import hashagg
     edges = _dedup_edges(edges_ds).materialize()
 
     def explode_sym(df: pd.DataFrame) -> pd.DataFrame:
@@ -89,32 +105,41 @@ def components_distributed(edges_ds: rd.Dataset, max_iter: int = 20,
         })
 
     sym = edges.map_batches(explode_sym, batch_format="pandas").materialize()
-    labels = sym.groupby("node").map_groups(
-        lambda g: pd.DataFrame({"node": [g["node"].iloc[0]],
-                                "rep": [g["node"].iloc[0]]}),
+    labels = hashagg.distinct(
+        sym.map_batches(lambda df: df[["node"]], batch_format="pandas"),
+        ["node"], coalesce=num_partitions).map_batches(
+        lambda df: df.assign(rep=df["node"]),
         batch_format="pandas").materialize()
 
     for _ in range(max_iter):
         # nbr-side labels: join sym(node,nbr) with labels on nbr
-        nbr_lab = sym.join(labels.map_batches(
-            lambda df: df.rename(columns={"node": "nbr"}),
-            batch_format="pandas"), join_type="inner",
-            num_partitions=num_partitions, on=("nbr",))
+        nbr_lab = hashagg.coalesced_join(
+            sym,
+            labels.map_batches(
+                lambda df: df.rename(columns={"node": "nbr"}),
+                batch_format="pandas"),
+            on=("nbr",), num_partitions=num_partitions)
         cand = nbr_lab.map_batches(
             lambda df: df[["node", "rep"]], batch_format="pandas")
-        new_labels = cand.union(labels).groupby("node").map_groups(
-            lambda g: pd.DataFrame({"node": [g["node"].iloc[0]],
-                                    "rep": [g["rep"].min()]}),
-            batch_format="pandas").materialize()
-        # convergence check: any change?
+        new_labels = hashagg.grouped_apply(
+            cand.union(labels), ["node"], _min_rep_partial,
+            _min_rep_partial, coalesce=num_partitions).materialize()
+        # convergence check: any change? (vectorized join compare)
         joined = new_labels.join(labels, join_type="inner",
                                  num_partitions=num_partitions,
                                  on=("node",), right_suffix="_old")
+        # (terminal join — consumed only by a map+sum, no coalesce needed)
         changed = joined.map_batches(
             lambda df: pd.DataFrame(
                 {"c": [int((df["rep"] != df["rep_old"]).sum())]}),
             batch_format="pandas").sum("c")
         labels = new_labels
         if not changed:
-            break
+            return labels
+    msg = (f"components_distributed did not converge within {max_iter} "
+           "rounds — component diameter exceeds max_iter; labels would "
+           "be a partial clustering")
+    if strict:
+        raise RuntimeError(msg)
+    logging.getLogger(__name__).warning(msg)
     return labels

@@ -93,9 +93,86 @@ def sha_invariant_ok(corpus_path: str, downstream_parquet_dir: str) -> bool:
         with c as (select distinct sha256(content) s
                    from read_parquet('{corpus_path}/*.parquet')),
              d as (select distinct doc_sha256 s
-                   from read_parquet('{downstream_parquet_dir}/*.parquet'))
+                   from read_parquet('{downstream_parquet_dir}/**/*.parquet'))
         select (select count(*) from c where s not in (select s from d))
              + (select count(*) from d where s not in (select s from c))
     """).fetchone()[0]
     con.close()
     return n == 0
+
+
+def _part_marker_dir(out_root: str, name: str) -> str:
+    return os.path.join(out_root, name + ".partmarkers")
+
+
+def partition_done(out_root: str, name: str, pid: str) -> bool:
+    return os.path.exists(os.path.join(_part_marker_dir(out_root, name),
+                                       f"part-{pid}.json"))
+
+
+def run_partitioned_stage(out_root: str, name: str, partition_ids,
+                          write_partition: Callable[[str, str], dict | None],
+                          force: bool = False) -> str:
+    """Stage execution with PER-PARTITION completion markers (north rule:
+    "checkpoints partition state so the job resumes mid-pipeline").
+
+    ``write_partition(pid, tmp_dir)`` writes one partition's parquet into
+    ``tmp_dir``; each finished partition is atomically promoted to
+    ``{out_root}/{name}.parts/part-{pid}`` and marked with a JSON record
+    (rows, bytes, wall seconds).  A re-run after a mid-stage kill SKIPS
+    partitions whose markers exist and computes only the rest.  When every
+    partition is complete the parts tree is renamed to the final stage dir
+    and the stage-level manifest is written (aggregating the per-partition
+    lineage records)."""
+    final_dir = os.path.join(out_root, name)
+    if stage_done(out_root, name) and not force:
+        return final_dir
+    os.makedirs(out_root, exist_ok=True)
+    marker = stage_manifest_path(out_root, name)
+    if os.path.exists(marker):
+        os.remove(marker)
+    shutil.rmtree(final_dir, ignore_errors=True)
+    parts_root = final_dir + ".parts"
+    mdir = _part_marker_dir(out_root, name)
+    if force:
+        shutil.rmtree(parts_root, ignore_errors=True)
+        shutil.rmtree(mdir, ignore_errors=True)
+    os.makedirs(parts_root, exist_ok=True)
+    os.makedirs(mdir, exist_ok=True)
+
+    part_infos = []
+    for pid in partition_ids:
+        pdir = os.path.join(parts_root, f"part-{pid}")
+        pmarker = os.path.join(mdir, f"part-{pid}.json")
+        if os.path.exists(pmarker) and os.path.isdir(pdir):
+            with open(pmarker) as fh:
+                part_infos.append(json.load(fh))
+            continue
+        tmp = pdir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(pdir, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        t0 = time.time()
+        info = write_partition(pid, tmp) or {}
+        wall = time.time() - t0
+        files = sorted(glob.glob(os.path.join(tmp, "**", "*.parquet"),
+                                 recursive=True))
+        rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        nbytes = sum(os.path.getsize(f) for f in files)
+        os.rename(tmp, pdir)
+        rec = {"partition": pid, "rows": rows, "bytes": nbytes,
+               "wall_sec": round(wall, 3), "info": info}
+        with open(pmarker + ".tmp", "w") as fh:
+            json.dump(rec, fh)
+        os.replace(pmarker + ".tmp", pmarker)
+        part_infos.append(rec)
+
+    os.rename(parts_root, final_dir)
+    manifest = {"stage": name,
+                "wall_sec": round(sum(p["wall_sec"] for p in part_infos), 3),
+                "total_rows": sum(p["rows"] for p in part_infos),
+                "partitions": part_infos,
+                "partitioned": True}
+    with open(marker, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    return final_dir

@@ -271,3 +271,18 @@ WB_RULE_PATTERNS: tuple[str, ...] = (
 WB_KEYWORD_WEIGHT = 0.2
 WB_RULE_WEIGHT = 0.3
 WB_THRESHOLD = 0.3
+
+# --- A16 culture/magic/geography grouping (worldbible/extractor.py:302-416)
+# Folk-group extraction — the code-corpus analog of the reference's
+# peoples_keywords table ("the folk of <Place>" phrases group culture
+# passages the way hobbit/elf/dwarf keywords do in the reference).
+WB_FOLK_PATTERN = r"folk of ([A-Z][a-z]+)"
+# EXACT reference location pattern (extractor.py:389-392)
+WB_LOC_PATTERN = (
+    r"(the\s+)?([\w\s]+)\s+(is|was|lies|stands?)\s+(in|on|near|by|at)\s+")
+# EXACT reference substring word lists (extractor.py:366-370)
+WB_MAGIC_LIMIT_WORDS: tuple[str, ...] = ("cannot", "forbidden")
+WB_MAGIC_ABILITY_WORDS: tuple[str, ...] = ("can", "able", "power")
+WB_MIN_CULTURE_PASSAGES = 2          # extractor.py:327
+WB_MAGIC_TOP = 5                     # extractor.py:375-376
+WB_GEO_LIMIT = 20                    # extractor.py:416

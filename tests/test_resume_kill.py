@@ -42,32 +42,61 @@ def test_kill_and_resume():
     shutil.rmtree(OUT, ignore_errors=True)
     os.makedirs(OUT, exist_ok=True)
 
-    # run 1: kill once the first stage (units) has committed
+    # run 1: kill MID-UNITS — after at least one partition marker commits
+    # but before the stage manifest (per-partition resume, north rule)
+    pmdir = os.path.join(OUT, "units.partmarkers")
     p = subprocess.Popen([sys.executable, "-c", _CHILD, OUT],
                          stdout=subprocess.DEVNULL,
                          stderr=subprocess.DEVNULL)
     deadline = time.time() + 180
     while time.time() < deadline:
-        done = _manifests(OUT)
-        if "units.lineage.json" in done:
+        markers = glob.glob(os.path.join(pmdir, "part-*.json"))
+        if len(markers) >= 1 and "units.lineage.json" not in _manifests(OUT):
             break
-        if p.poll() is not None:
+        if p.poll() is not None or "units.lineage.json" in _manifests(OUT):
             break
-        time.sleep(0.1)
-    if p.poll() is None:
-        p.send_signal(signal.SIGKILL)
-        p.wait()
+        time.sleep(0.02)
+    p.send_signal(signal.SIGKILL)
+    p.wait()
+    part_markers = sorted(glob.glob(os.path.join(pmdir, "part-*.json")))
+    killed_mid_units = "units.lineage.json" not in _manifests(OUT)
+    part_mtimes = {m: os.path.getmtime(m) for m in part_markers}
+
+    # run 1b (only if run 1 finished units before the kill landed):
+    # kill after units committed, before triples
+    if not killed_mid_units:
+        p = subprocess.Popen([sys.executable, "-c", _CHILD, OUT],
+                             stdout=subprocess.DEVNULL,
+                             stderr=subprocess.DEVNULL)
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            if "units.lineage.json" in _manifests(OUT):
+                break
+            if p.poll() is not None:
+                break
+            time.sleep(0.05)
+        if p.poll() is None:
+            p.send_signal(signal.SIGKILL)
+            p.wait()
     survived = _manifests(OUT)
-    assert "units.lineage.json" in survived, survived
     assert "triples.lineage.json" not in survived, "killed too late"
-    units_mtime = os.path.getmtime(os.path.join(OUT, "units.lineage.json"))
+    units_manifest = os.path.join(OUT, "units.lineage.json")
+    units_mtime = (os.path.getmtime(units_manifest)
+                   if os.path.exists(units_manifest) else None)
 
     # run 2: must complete, skipping the committed stages
     out = subprocess.run([sys.executable, "-c", _CHILD, OUT],
                          capture_output=True, text=True, timeout=300)
     assert "DONE" in out.stdout, out.stderr[-2000:]
-    assert os.path.getmtime(os.path.join(OUT, "units.lineage.json")) \
-        == units_mtime, "completed stage was re-run"
+    if units_mtime is not None:
+        assert os.path.getmtime(units_manifest) == units_mtime, \
+            "completed stage was re-run"
+    # per-partition resume: every units partition that committed before
+    # the kill must NOT have been recomputed (marker untouched)
+    for m, t in part_mtimes.items():
+        assert os.path.getmtime(m) == t, f"completed partition re-run: {m}"
+    if killed_mid_units:
+        assert part_mtimes, "kill landed before any partition committed"
     assert "triples.lineage.json" in _manifests(OUT)
 
     # equivalence with a clean build + invariant
