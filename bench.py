@@ -27,7 +27,9 @@ import time
 # synthetic corpus's tiny shingle vocabulary its candidate set grows
 # quadratically, so the bench exercises LSH — same verified output).
 QUERY_SET = ["style_vocab", "style_fingerprint", "dedup_minhash_pairs",
-             "ann_topk", "event_order", "kg_cooccurrence"]
+             "ann_topk", "event_order", "kg_cooccurrence",
+             "style_similarity", "lore_check", "voice_profiles",
+             "kg_fuzzy_links"]
 
 
 def run_bench() -> dict:

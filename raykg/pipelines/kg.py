@@ -77,26 +77,46 @@ def _ncpu() -> int:
         return 8
 
 
+def strip_meta(t: pa.Table) -> pa.Table:
+    """Drop schema-level key-value metadata before a parquet sink.
+
+    Blocks converted from pandas carry a ``pandas`` metadata dict;
+    ``pyarrow.Schema.__hash__`` raises on dict metadata, which makes every
+    downstream Ray hash-shuffle of the re-read file log a spurious
+    "Failed to hash the schemas" warning from internal aggregator actors
+    (which never import raykg, so the raykg.__init__ log filter can't
+    reach them).  Metadata-only op — zero-copy."""
+    return t.replace_schema_metadata(None)
+
+
 def read_extract_kind(extract_dir: str, kind: str) -> rd.Dataset:
     """Scan one hive partition (``kind=<value>``) of the extract output —
     partition pruning at the read, per the prune-at-the-read rule."""
     return rd.read_parquet(os.path.join(extract_dir, f"kind={kind}"))
 
 
-def nodes_bucket(g: pd.DataFrame) -> pd.DataFrame:
+def nodes_bucket(g: pd.DataFrame,
+                 seed_map: dict[str, tuple[str, str]] | None = None
+                 ) -> pd.DataFrame:
     """Entity name/type selection (S6/A2 analog) for ALL entities in one
     hashagg bucket, vectorized.  Input = per-surface partial sums
     ``(entity_id, mention_text, entity_type, is_new, resolved_name,
     n_occurrences)`` — combiner-compressed, so hot entities arrive as a few
-    rows per surface, not per occurrence.  canonical name = seed name when
-    known, else most-frequent surface (ties → name asc); type = seed type
-    when known, else highest-priority observed type."""
+    rows per surface, not per occurrence.  canonical name/type ladder:
+    the REPRESENTATIVE's own seed attributes (``seed_map[entity_id]`` —
+    union-find prefers seed ids as reps, so a merged component carries the
+    rep seed's name/type, never a lexicographic max over merged seeds),
+    else seed attrs observed on any known row, else most-frequent surface
+    (ties → name asc) / highest-priority observed type."""
     surf = (g.groupby(["entity_id", "mention_text", "entity_type", "is_new",
                        "resolved_name"], sort=False)["n_occurrences"].sum()
             .reset_index())
     known = (surf[~surf["is_new"]].groupby("entity_id", sort=False)
              .agg(known_name=("resolved_name", "max"),
                   known_type=("entity_type", "max")))
+    seed_map = seed_map or {}
+    seed_name = {e: nt[0] for e, nt in seed_map.items()}
+    seed_type = {e: nt[1] for e, nt in seed_map.items()}
     per_surface = (surf.groupby(["entity_id", "mention_text"], sort=False)
                    ["n_occurrences"].sum().reset_index()
                    .sort_values(["entity_id", "n_occurrences",
@@ -114,9 +134,11 @@ def nodes_bucket(g: pd.DataFrame) -> pd.DataFrame:
     n_types = surf.groupby("entity_id", sort=False)["entity_type"].nunique()
 
     out = pd.DataFrame({"entity_id": best_rank.index})
-    out["canonical_name"] = (out["entity_id"].map(known["known_name"])
+    out["canonical_name"] = (out["entity_id"].map(seed_name)
+                             .fillna(out["entity_id"].map(known["known_name"]))
                              .fillna(out["entity_id"].map(top_surface)))
-    out["entity_type"] = (out["entity_id"].map(known["known_type"])
+    out["entity_type"] = (out["entity_id"].map(seed_type)
+                          .fillna(out["entity_id"].map(known["known_type"]))
                           .fillna(out["entity_id"].map(fallback_type)))
     out["n_types"] = out["entity_id"].map(n_types)
     return out[["entity_id", "canonical_name", "entity_type", "n_types"]]
@@ -157,7 +179,7 @@ def triples_bucket(g: pd.DataFrame) -> pd.DataFrame:
 
 # bump when the on-disk stage layout changes — stale checkpoints from an
 # older layout must not be resumed into
-PIPE_LAYOUT_VERSION = 4
+PIPE_LAYOUT_VERSION = 5
 
 
 def default_out_root(sf_dir: str) -> str:
@@ -283,6 +305,7 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
         (read_extract_kind(extract_dir, extract.KIND_MENTION)
          .map_batches(resolve_mentions_fn, batch_format="pandas",
                       batch_size=4096)
+         .map_batches(strip_meta, batch_format="pyarrow")
          .write_parquet(tmp))
 
     mentions_dir = lineage.run_stage(out_root, "mentions", write_mentions,
@@ -296,6 +319,7 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
                                      "n_occurrences"]),
             ["entity_id", "unit_id"], "n_occurrences",
             name="mention_count")
+         .map_batches(strip_meta, batch_format="pyarrow")
          .write_parquet(tmp))
 
     mention_edges_dir = lineage.run_stage(out_root, "mention_edges",
@@ -316,10 +340,19 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
                     .agg(n_occurrences=pl.col("n_occurrences").sum())
                     .to_pandas())
 
+        def nodes_bucket_seeded(g: pd.DataFrame) -> pd.DataFrame:
+            # seed attrs of the union-find REPRESENTATIVE (ADVICE: never a
+            # max() over merged seeds); alias index is the already-broadcast
+            # vocabulary-bounded seed table, read once per worker
+            idx = get_cached(alias_ref)
+            seeds = {eid: (name, etype)
+                     for eid, etype, name in idx.values()}
+            return nodes_bucket(g, seed_map=seeds)
+
         names = hashagg.grouped_apply(
             rd.read_parquet(mentions_dir,
                             columns=surf_partial_cols + ["n_occurrences"]),
-            ["entity_id"], nodes_bucket, surf_partial, coalesce=8)
+            ["entity_id"], nodes_bucket_seeded, surf_partial, coalesce=8)
 
         # mention_edges rows are globally DISTINCT (entity, unit) pairs, so
         # per-batch counts are a valid combiner — the shuffle ships partial
@@ -350,6 +383,7 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
              "entity_id", "canonical_name", "entity_type", "mention_count",
              "n_units", "n_types", "first_seen_unit"]],
              batch_format="pandas")
+         .map_batches(strip_meta, batch_format="pyarrow")
          .write_parquet(tmp))
 
     nodes_dir = lineage.run_stage(out_root, "nodes", write_nodes, force)
@@ -423,6 +457,7 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
                on=("obj",))
          .map_batches(finish, batch_format="pandas")
          .sort(["subj", "pred", "obj"])
+         .map_batches(strip_meta, batch_format="pyarrow")
          .write_parquet(tmp))
 
     triples_dir = lineage.run_stage(out_root, "triples", write_triples, force)

@@ -236,8 +236,11 @@ def q_style_function_words(sf_dir: str):
     """A8 function-word relative frequencies (style/metrics.py:272-276):
     one row per (repo, function word), freq = count / total repo tokens."""
     from raykg.functions import hashagg
-    counts = _word_counts_ds(sf_dir).materialize()
-    totals = hashagg.sum_col(counts, ["repo"], "cnt", name="total")
+    # coalesce both join inputs: map_groups emits zero-column empty blocks
+    # that break Arrow join schema resolution (see hashagg.coalesced_join)
+    counts = _word_counts_ds(sf_dir).repartition(8).materialize()
+    totals = hashagg.sum_col(counts, ["repo"], "cnt", name="total",
+                             coalesce=2)
     fw = set(vocab.FUNCTION_WORDS)
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
@@ -245,8 +248,8 @@ def q_style_function_words(sf_dir: str):
         out["freq"] = (out["cnt"] / out["total"]).round(9)
         return out[["repo", "word", "freq"]]
 
-    return (counts.join(totals, join_type="inner", num_partitions=4,
-                        on=("repo",))
+    return (hashagg.coalesced_join(counts, totals, on=("repo",),
+                                   num_partitions=4)
             .map_batches(score, batch_format="pandas"))
 
 
@@ -1944,6 +1947,10 @@ def oracle_for(name: str, sf_dir: str) -> str:
         return (f"WITH {U},{M} SELECT unit_id, doc_sha256, mention_text, "
                 "label, confidence, n_occurrences FROM mentions")
 
+    # canonical name/type ladder mirrors kg.nodes_bucket: the
+    # REPRESENTATIVE's own seed attributes first (seed join on the group's
+    # entity_id), then seed attrs seen on any known row, then top surface /
+    # label fallback.
     nodes_sql = f"""
 node_names AS (
   SELECT entity_id, mention_text,
@@ -1952,13 +1959,19 @@ node_names AS (
                                      mention_text ASC) AS rn
   FROM resolved GROUP BY entity_id, mention_text
 ),
+seed_attrs AS (
+  SELECT entity_id, canonical_name AS seed_name, entity_type AS seed_type
+  FROM read_parquet('{alias_path}')
+),
 nodes AS (
   SELECT r.entity_id,
-         CASE WHEN bool_or(r.known) THEN max(r.known_name)
-              ELSE max(nn.mention_text) END AS canonical_name,
-         CASE WHEN bool_or(r.known) THEN max(r.known_type)
-              WHEN bool_or(r.label = 'PERSON') THEN 'character'
-              ELSE 'unknown' END AS entity_type,
+         coalesce(any_value(s.seed_name),
+                  CASE WHEN bool_or(r.known) THEN max(r.known_name)
+                       ELSE max(nn.mention_text) END) AS canonical_name,
+         coalesce(any_value(s.seed_type),
+                  CASE WHEN bool_or(r.known) THEN max(r.known_type)
+                       WHEN bool_or(r.label = 'PERSON') THEN 'character'
+                       ELSE 'unknown' END) AS entity_type,
          CAST(sum(r.n_occurrences) AS BIGINT) AS mention_count,
          count(DISTINCT r.unit_id) AS n_units,
          count(DISTINCT CASE WHEN r.known THEN r.known_type
@@ -1966,6 +1979,7 @@ nodes AS (
                              ELSE 'unknown' END) AS n_types
   FROM resolved r
   LEFT JOIN node_names nn ON nn.entity_id = r.entity_id AND nn.rn = 1
+  LEFT JOIN seed_attrs s ON s.entity_id = r.entity_id
   GROUP BY r.entity_id
 )"""
 
