@@ -330,10 +330,18 @@ def q_style_similarity(sf_dir: str):
     per-repo fingerprint pieces are distributed aggregates; only the
     O(repos²) pairwise step runs on the driver (repo count is small)."""
     import numpy as np
-    z = q_style_zscores(sf_dir).to_pandas()
-    dist = q_style_distribution(sf_dir).to_pandas()
-    read = q_style_readability(sf_dir).to_pandas()
-    tdist = q_style_type_distribution(sf_dir).to_pandas()
+    from concurrent.futures import ThreadPoolExecutor
+    # four independent full-corpus aggregates — build the lazy Datasets
+    # serially (read_parquet metadata/filesystem resolution is not
+    # thread-safe: concurrent first-touch races fsspec lazy imports), then
+    # materialize concurrently (sequential .to_pandas() calls would
+    # serialize four corpus passes)
+    plans = [f(sf_dir) for f in (q_style_zscores, q_style_distribution,
+                                 q_style_readability,
+                                 q_style_type_distribution)]
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        z, dist, read, tdist = [f.result() for f in
+                                [ex.submit(p.to_pandas) for p in plans]]
 
     zmat = z.pivot_table(index="word", columns="repo", values="zscore")
     mean_len = dist.set_index("repo")["mean"]
@@ -1481,6 +1489,77 @@ def q_ann_lsh(sf_dir: str):
             .map_groups(sim.final_topk, batch_format="pandas"))
 
 
+# ----------------------------------------------------- temporal reasoning
+
+def _lifespan_rows(sf_dir: str):
+    from raykg.ops import temporal as tmp
+    p = kg_paths(sf_dir)
+    ds = rd.read_parquet(p["units"],
+                         columns=["repo", "path", "unit_id", "lang", "text"])
+    return ds.map_batches(tmp.lifespan_rows_batch, batch_format="pyarrow",
+                          batch_size=2048)
+
+
+def q_timeline_entities(sf_dir: str):
+    """#7/M16 ``TemporalExtractor`` lifespan timeline
+    (lore/temporal.py:294-327): per-(repo, lowercased name) entity with
+    birth/death eras under the reference's mutation rules (last birth/death
+    match wins, lived only fills unseen names, death owns the final
+    source_text)."""
+    from raykg.functions import hashagg
+    from raykg.ops import temporal as tmp
+    return hashagg.grouped_apply(_lifespan_rows(sf_dir),
+                                 ["repo", "name_key"], tmp.timeline_group,
+                                 coalesce=8)
+
+
+def q_timeline_alive(sf_dir: str):
+    """#7 ``TemporalEntity.alive_during`` (lore/temporal.py:86-110): each
+    timeline entity crossed with the six known eras; three-valued verdict
+    (True / False / NULL-unknown)."""
+    from raykg.ops import temporal as tmp
+    return q_timeline_entities(sf_dir).map_batches(
+        tmp.alive_rows, batch_format="pandas")
+
+
+def q_timeline_order(sf_dir: str):
+    """M16 ORDER_PATTERNS relations (lore/temporal.py:276-281,330-337):
+    every match in pattern-then-document order (the reference keeps
+    duplicates; position columns make the order reproducible)."""
+    from raykg.ops import temporal as tmp
+    p = kg_paths(sf_dir)
+    ds = rd.read_parquet(p["units"],
+                         columns=["repo", "path", "unit_id", "lang", "text"])
+    return ds.map_batches(tmp.order_rows_batch, batch_format="pyarrow",
+                          batch_size=2048)
+
+
+def q_timeline_before(sf_dir: str):
+    """#7 ``Timeline.happened_before`` (lore/temporal.py:187-218) for every
+    unordered entity pair per repo: first explicit ORDER relation in
+    insertion order decides, else birth-era comparison, else NULL.
+    Partitioning assumption: the per-repo timeline (entities + relations)
+    is vocabulary-bounded, so one repo is one group."""
+    from raykg.ops import temporal as tmp
+
+    def _na(df: pd.DataFrame) -> pd.Series:
+        return pd.Series(pd.NA, index=df.index, dtype="string")
+
+    cols = ["repo", "name_key", "birth_era", "subj", "relation", "obj",
+            "pattern_idx", "path", "unit_id", "ord"]
+    ents = q_timeline_entities(sf_dir).map_batches(
+        lambda df: df[["repo", "name_key", "birth_era"]].assign(
+            subj=_na(df), relation=_na(df), obj=_na(df),
+            pattern_idx=-1, path="", unit_id="", ord=-1)
+        .astype({"pattern_idx": "int32", "ord": "int32"})[cols],
+        batch_format="pandas")
+    rels = q_timeline_order(sf_dir).map_batches(
+        lambda df: df.assign(name_key=_na(df), birth_era=_na(df))[cols],
+        batch_format="pandas")
+    return (ents.union(rels).groupby("repo")
+            .map_groups(tmp.happened_before_group, batch_format="pandas"))
+
+
 # ------------------------------------------------------------- oracle SQL
 
 def _trim(e: str) -> str:
@@ -1716,6 +1795,117 @@ resolved AS MATERIALIZED (
   LEFT JOIN fuzzy_hits fz ON fz.m_key = lower(m.mention_text)
   LEFT JOIN uf_rep r ON r.node = coalesce(ak.entity_id, fz.entity_id,
                                           {_slug('m.mention_text')})
+)"""
+
+
+def _era_case(x: str) -> str:
+    """SQL mirror of ops.temporal.era_from_text (Era.from_text ladder)."""
+    t = f"lower({x})"
+    return (f"CASE WHEN contains({t}, 'first age') "
+            f"OR contains({t}, 'elder days') THEN 'first_age' "
+            f"WHEN contains({t}, 'second age') THEN 'second_age' "
+            f"WHEN contains({t}, 'third age') THEN 'third_age' "
+            f"WHEN contains({t}, 'fourth age') THEN 'fourth_age' "
+            f"WHEN contains({t}, 'years of the trees') THEN 'years_of_trees' "
+            f"WHEN contains({t}, 'before') AND (contains({t}, 'time') "
+            f"OR contains({t}, 'sun')) THEN 'before_time' "
+            "ELSE 'unknown' END")
+
+
+def temporal_ctes() -> str:
+    """WITH-clause bodies for the temporal oracle (assumes ``units``):
+    ``life`` / ``torder`` match rows (regexp_extract_all + zipped unnest,
+    ordinal as the within-unit order proxy — the same key the engine
+    uses), ``tl_entities`` with the reference's mutation rules, and the
+    era-order lookup ``eord``.  Pattern strings come verbatim from
+    raykg.ops.temporal so engine and oracle can never drift."""
+    from raykg.ops import temporal as tmp
+    life_pats = ",\n    ".join(
+        f"({ph}, {pi}, '{p}')"
+        for ph, (_, plist) in enumerate(tmp.PHASES)
+        for pi, p in enumerate(plist))
+    order_pats = ",\n    ".join(
+        f"({pi}, '{p}', '{rel}')"
+        for pi, (p, rel) in enumerate(tmp.ORDER_PATTERNS))
+    eord_vals = ", ".join(f"('{e}', {o})" for e, o in tmp.ERA_ORDER.items())
+    eras_vals = ", ".join(f"('{e}', {tmp.ERA_ORDER[e]})"
+                          for e in tmp.KNOWN_ERAS)
+    return f"""
+tpat(phase, pattern_idx, rx) AS (VALUES
+    {life_pats}),
+opat(pattern_idx, rx, relation) AS (VALUES
+    {order_pats}),
+eord(e, o) AS (VALUES {eord_vals}),
+eras(era, era_ord) AS (VALUES {eras_vals}),
+life AS (
+  SELECT repo, path, unit_id, phase, pattern_idx, ord, name,
+         lower(name) AS name_key, {_era_case('eratxt')} AS era, source_text
+  FROM (
+    SELECT u.repo, u.path, u.unit_id, t.phase, t.pattern_idx,
+           CAST(generate_subscripts(
+               regexp_extract_all(u.text, t.rx, 0, 'i'), 1) - 1 AS INT)
+               AS ord,
+           unnest(regexp_extract_all(u.text, t.rx, 1, 'i')) AS name,
+           unnest(regexp_extract_all(u.text, t.rx, 2, 'i')) AS eratxt,
+           unnest(regexp_extract_all(u.text, t.rx, 0, 'i')) AS source_text
+    FROM units u CROSS JOIN tpat t WHERE u.lang = 'txt')
+),
+torder AS (
+  SELECT u.repo, u.path, u.unit_id, o.pattern_idx,
+         CAST(generate_subscripts(
+             regexp_extract_all(u.text, o.rx, 0, 'i'), 1) - 1 AS INT)
+             AS ord,
+         unnest(regexp_extract_all(u.text, o.rx, 1, 'i')) AS subj,
+         o.relation,
+         unnest(regexp_extract_all(u.text, o.rx, 2, 'i')) AS obj,
+         unnest(regexp_extract_all(u.text, o.rx, 0, 'i')) AS source_text
+  FROM units u CROSS JOIN opat o WHERE u.lang = 'txt'
+),
+tl_first AS (
+  SELECT repo, name_key, name,
+         row_number() OVER (PARTITION BY repo, name_key
+             ORDER BY phase, pattern_idx, path, unit_id, ord) AS rn
+  FROM life
+),
+tl_b AS (
+  SELECT repo, name_key, era, source_text,
+         row_number() OVER (PARTITION BY repo, name_key
+             ORDER BY pattern_idx DESC, path DESC, unit_id DESC, ord DESC)
+             AS rn
+  FROM life WHERE phase = 0
+),
+tl_d AS (
+  SELECT repo, name_key, era, source_text,
+         row_number() OVER (PARTITION BY repo, name_key
+             ORDER BY pattern_idx DESC, path DESC, unit_id DESC, ord DESC)
+             AS rn
+  FROM life WHERE phase = 1
+),
+tl_l AS (
+  SELECT repo, name_key, era, source_text,
+         row_number() OVER (PARTITION BY repo, name_key
+             ORDER BY pattern_idx, path, unit_id, ord) AS rn
+  FROM life WHERE phase = 2
+),
+tl_entities AS (
+  SELECT f.repo, f.name_key, f.name, 'character' AS entity_type,
+         CASE WHEN b.name_key IS NOT NULL THEN b.era
+              WHEN d.name_key IS NOT NULL THEN 'none'
+              ELSE coalesce(l.era, 'none') END AS birth_era,
+         CASE WHEN d.name_key IS NOT NULL THEN d.era
+              WHEN b.name_key IS NOT NULL THEN 'none'
+              ELSE coalesce(l.era, 'none') END AS death_era,
+         CASE WHEN d.name_key IS NOT NULL THEN d.source_text
+              WHEN b.name_key IS NOT NULL THEN b.source_text
+              ELSE l.source_text END AS source_text
+  FROM tl_first f
+  LEFT JOIN tl_b b ON b.repo = f.repo AND b.name_key = f.name_key
+                      AND b.rn = 1
+  LEFT JOIN tl_d d ON d.repo = f.repo AND d.name_key = f.name_key
+                      AND d.rn = 1
+  LEFT JOIN tl_l l ON l.repo = f.repo AND l.name_key = f.name_key
+                      AND l.rn = 1
+  WHERE f.rn = 1
 )"""
 
 
@@ -3085,6 +3275,67 @@ SELECT s.speaker,
 FROM (SELECT DISTINCT speaker FROM spans) s
 LEFT JOIN alias_keys ak ON ak.k = lower(s.speaker)"""
 
+    if name == "timeline_entities":
+        return (f"WITH {U},{temporal_ctes()} "
+                "SELECT repo, name_key, name, entity_type, birth_era, "
+                "death_era, source_text FROM tl_entities")
+
+    if name == "timeline_alive":
+        return (f"WITH {U},{temporal_ctes()} "
+                """SELECT t.repo, t.name_key, e.era,
+       CASE WHEN bo.o IS NOT NULL AND e.era_ord < bo.o THEN 'false'
+            WHEN do_.o IS NOT NULL AND e.era_ord > do_.o THEN 'false'
+            WHEN bo.o IS NOT NULL AND do_.o IS NOT NULL
+                 AND bo.o <= e.era_ord AND e.era_ord <= do_.o THEN 'true'
+            ELSE 'unknown' END AS alive
+FROM tl_entities t CROSS JOIN eras e
+LEFT JOIN eord bo ON bo.e = t.birth_era
+LEFT JOIN eord do_ ON do_.e = t.death_era""")
+
+    if name == "timeline_order":
+        return (f"WITH {U},{temporal_ctes()} "
+                "SELECT repo, path, unit_id, pattern_idx, ord, subj, "
+                "relation, obj, source_text FROM torder")
+
+    if name == "timeline_before":
+        return (f"WITH {U},{temporal_ctes()},"
+                """
+trank AS (
+  SELECT repo, lower(subj) AS s, lower(obj) AS o, relation,
+         row_number() OVER (PARTITION BY repo
+             ORDER BY pattern_idx, path, unit_id, ord) AS rank
+  FROM torder
+),
+tpairs AS (
+  SELECT a.repo, a.name_key AS ea, b.name_key AS eb,
+         ae.o AS oa, be.o AS ob
+  FROM tl_entities a
+  JOIN tl_entities b ON a.repo = b.repo AND a.name_key < b.name_key
+  LEFT JOIN eord ae ON ae.e = a.birth_era
+  LEFT JOIN eord be ON be.e = b.birth_era
+),
+tmatch AS (
+  SELECT p.repo, p.ea, p.eb, r.relation,
+         CASE WHEN r.s = p.ea THEN 1 ELSE -1 END AS direction,
+         row_number() OVER (PARTITION BY p.repo, p.ea, p.eb
+                            ORDER BY r.rank) AS rn
+  FROM tpairs p JOIN trank r ON r.repo = p.repo
+    AND ((r.s = p.ea AND r.o = p.eb) OR (r.s = p.eb AND r.o = p.ea))
+)
+SELECT p.repo, p.ea AS entity_a, p.eb AS entity_b,
+       CASE WHEN m.relation IS NOT NULL THEN
+                 CASE WHEN (m.relation = 'before' AND m.direction = 1)
+                       OR (m.relation = 'after' AND m.direction = -1)
+                      THEN 'true' ELSE 'false' END
+            WHEN p.oa IS NOT NULL AND p.ob IS NOT NULL
+                 AND p.oa >= 0 AND p.ob >= 0 AND p.oa < p.ob THEN 'true'
+            WHEN p.oa IS NOT NULL AND p.ob IS NOT NULL
+                 AND p.oa >= 0 AND p.ob >= 0 AND p.oa > p.ob THEN 'false'
+            ELSE 'unknown' END AS a_before_b
+FROM tpairs p
+LEFT JOIN tmatch m ON m.repo = p.repo AND m.ea = p.ea AND m.eb = p.eb
+                      AND m.rn = 1""")
+
     raise KeyError(name)
 
 
@@ -3143,6 +3394,10 @@ QUERY_FNS = {
     "kg_corpus_stats": q_kg_corpus_stats,
     "kg_fuzzy_links": q_kg_fuzzy_links,
     "lore_check": q_lore_check,
+    "timeline_entities": q_timeline_entities,
+    "timeline_alive": q_timeline_alive,
+    "timeline_order": q_timeline_order,
+    "timeline_before": q_timeline_before,
     "ann_lsh": q_ann_lsh,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,   # no SQL oracle (LSH)
     "simhash": q_simhash,                           # no SQL oracle

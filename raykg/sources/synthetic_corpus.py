@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 from raykg import vocab
 from raykg.functions.textnorm import sha256_hex, slugify
 
-GEN_VERSION = 13
+GEN_VERSION = 15
 CACHE_ROOT = "/tmp/raykg_data"
 
 # ---------------------------------------------------------------- name pools
@@ -333,6 +333,50 @@ class _FileGen:
         self.truth.append((sid, "DESTROYED", oid))
         return f"In the {era} Age, year {year}, {s} destroyed the {o}."
 
+    def sent_lifespan(self) -> str:
+        """Temporal lifespan sentence exercising the reference
+        BIRTH/DEATH/LIVED pattern sets (lore/temporal.py:256-269).
+        Deliberately includes shapes that trigger the reference's own
+        capture quirks ("was born" / "the world" pseudo-entities via the
+        generic LIVED pattern) — the engine must reproduce them."""
+        s, sid = self.pick_char()
+        era = vocab.ERAS[self.rng.randint(len(vocab.ERAS))]
+        k = self.rng.randint(6)
+        if k == 0:
+            return f"{s} was born in the {era} Age."
+        if k == 1:
+            return f"{s} came into the world in the {era} Age."
+        if k == 2:
+            return f"{s} perished in the {era} Age."
+        if k == 3:
+            return f"Men still mourn the death of {s} in the {era} Age."
+        # "dwelt in"/"lived in" are ALSO SVO verb phrases (LIVES_IN): the
+        # relationship extractor legitimately emits (char, LIVES_IN, <era
+        # word>) — the capitalized era word becomes a new-entity object —
+        # so record that triple as truth to keep P/R exact
+        self.truth.append((sid, "LIVES_IN", era.lower()))
+        if k == 4:
+            return f"{s} dwelt in the {era} Age."
+        return f"{s} lived in the {era} Age."
+
+    def sent_order(self) -> str:
+        """Temporal ordering sentence (ORDER_PATTERNS,
+        lore/temporal.py:276-281)."""
+        a, aid = self.pick_char()
+        b, bid = self.pick_char()
+        while bid == aid:
+            b, bid = self.pick_char()
+        k = self.rng.randint(4)
+        if k == 0:
+            return f"{a} came before {b}."
+        if k == 1:
+            return f"{a} came after {b}."
+        if k == 2:
+            return f"{a} preceded {b}."
+        # "followed" is also an SVO verb phrase (TRAVELED_WITH) — truth it
+        self.truth.append((aid, "TRAVELED_WITH", bid))
+        return f"{a} followed {b}."
+
     def sent_title(self) -> str:
         title = vocab.TITLES[self.rng.randint(len(vocab.TITLES))]
         s, _ = self.pick_char()
@@ -395,6 +439,10 @@ class _FileGen:
             return self.sent_rule()
         if r < 0.83:
             return self.sent_geo()
+        if r < 0.88:
+            return self.sent_lifespan()
+        if r < 0.91:
+            return self.sent_order()
         return self.sent_filler()
 
     def prose_content(self) -> str:

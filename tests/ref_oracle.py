@@ -72,7 +72,8 @@ def _ensure_pkgs() -> None:
     for pkg_name, sub in (("bga_ref", ""), ("bga_ref.ingest", "ingest"),
                           ("bga_ref.extract", "extract"),
                           ("bga_ref.voice", "voice"),
-                          ("bga_ref.style", "style")):
+                          ("bga_ref.style", "style"),
+                          ("bga_ref.lore", "lore")):
         if pkg_name not in sys.modules:
             m = types.ModuleType(pkg_name)
             m.__path__ = [os.path.join(REF_SRC, sub)]
@@ -99,6 +100,13 @@ def dialogue():
 def metrics():
     _ensure_pkgs()
     return _load("bga_ref.style.metrics", "style/metrics.py")
+
+
+def temporal():
+    _ensure_pkgs()
+    # llm must exist before temporal (``from ..llm import LLMClient``)
+    _load("bga_ref.llm", "llm.py")
+    return _load("bga_ref.lore.temporal", "lore/temporal.py")
 
 
 # ------------------------------------------------------- oracle invocations
