@@ -173,6 +173,61 @@ def distinct(ds: rd.Dataset, keys: Sequence[str],
                    final, coalesce)
 
 
+def sum_col_contiguous(ds: rd.Dataset, keys: Sequence[str], col: str,
+                       contig_key: str, name: str | None = None
+                       ) -> rd.Dataset:
+    """groupby(keys).sum(col) for datasets where all rows of any given
+    ``contig_key`` value are CONTIGUOUS in file order (e.g. mention rows:
+    one unit's mentions are emitted by one task into one file run).
+
+    Under that invariant a global all-to-all is wasted motion — at sf4 the
+    (entity, unit) aggregation shuffled 8.45M rows / 550 MB to merge only
+    5% duplicates, and the sort stage scaled 0.92× from 8→32 CPUs (shared
+    memory bus).  Instead:
+
+    1. per-block vectorized groupby (the real work, embarrassingly
+       parallel);
+    2. groups belonging to each block's FIRST or LAST ``contig_key`` value
+       are the only ones that can straddle a block/row-group boundary —
+       tag them and re-aggregate ONLY those through the bucketed plan
+       (O(2 × num_blocks) key groups, vocabulary-sized);
+    3. interior groups stream through untouched.
+
+    Blocks from ``read_parquet`` are contiguous slices of single files (or
+    concatenations of whole files), so a contig_key run never interleaves —
+    the sf0.01 DuckDB oracle cross-checks the invariant every round."""
+    keys = list(keys)
+    name = name or col
+    pl = _pl()
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({**{k: pa.array([], t.schema.field(k).type)
+                                for k in keys},
+                             name: pa.array([], pa.int64()),
+                             "__edge": pa.array([], pa.bool_())})
+        d = pl.from_arrow(t)
+        g = d.group_by(keys).agg(pl.col(col).sum().cast(pl.Int64)
+                                 .alias(name))
+        first, last = d[contig_key][0], d[contig_key][-1]
+        return g.with_columns(
+            pl.col(contig_key).is_in([first, last]).alias("__edge")
+        ).to_arrow()
+
+    assert contig_key in keys, "contig_key must be a group key"
+
+    def side(want: bool):
+        def f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return t.filter(pc.equal(t["__edge"], want)).drop(["__edge"])
+        return f
+
+    marked = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    interior = marked.map_batches(side(False), batch_format="pyarrow")
+    boundary = marked.map_batches(side(True), batch_format="pyarrow")
+    return interior.union(sum_col(boundary, keys, name, name=name))
+
+
 def first_by(ds: rd.Dataset, keys: Sequence[str], order_by: Sequence[str],
              num_buckets: int = DEFAULT_BUCKETS) -> rd.Dataset:
     """groupby(keys).first() with deterministic in-group order (R6 exact

@@ -179,7 +179,7 @@ def triples_bucket(g: pd.DataFrame) -> pd.DataFrame:
 
 # bump when the on-disk stage layout changes — stale checkpoints from an
 # older layout must not be resumed into
-PIPE_LAYOUT_VERSION = 5
+PIPE_LAYOUT_VERSION = 6
 
 
 def default_out_root(sf_dir: str) -> str:
@@ -312,13 +312,16 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
                                      force)
 
     # ---- stage: mention_edges (entity↔unit, S9 analog) ----
+    # a unit's mention rows are written contiguously by one task, so the
+    # (entity, unit) aggregation needs no global shuffle — per-block
+    # groupby + boundary-unit repair (hashagg.sum_col_contiguous)
     def write_mention_edges(tmp: str):
-        (hashagg.sum_col(
+        (hashagg.sum_col_contiguous(
             rd.read_parquet(mentions_dir,
                             columns=["entity_id", "unit_id",
                                      "n_occurrences"]),
             ["entity_id", "unit_id"], "n_occurrences",
-            name="mention_count")
+            contig_key="unit_id", name="mention_count")
          .map_batches(strip_meta, batch_format="pyarrow")
          .write_parquet(tmp))
 

@@ -1138,9 +1138,10 @@ def q_event_lookup(sf_dir: str):
 
 
 def q_unit_types(sf_dir: str):
-    """M13 unit-type classifier (style/classifier.py:85-136): per-category
-    pattern counts → argmax (ties → name asc), confidence < 0.5 →
-    unknown."""
+    """M13 unit-type classifier (style/classifier.py:85-246): the
+    reference's six weighted scorers (dialogue/action/description/travel/
+    battle/reflection) with primary+secondary types, score columns, the
+    primary-score<0.5 → unknown rule and per-type caps."""
     from raykg.ops import unittype as ut
     p = kg_paths(sf_dir)
     ds = rd.read_parquet(p["units"], columns=["unit_id", "lang", "text"])
@@ -2003,38 +2004,88 @@ def fw_values() -> str:
 
 
 def unit_typed_cte() -> str:
-    """Per-unit M13 classification with repo — shared by unit_types and
-    the A9 type-distribution oracle."""
+    """Per-unit M13 six-scorer classification (classifier.py:85-246) with
+    repo — shared by unit_types and the A9 type-distribution oracle.
+
+    Every weight/keyword/pattern and the exact closed-form float
+    expressions come from raykg.ops.unittype (which mirrors the reference
+    verbatim), so engine and oracle evaluate the SAME IEEE arithmetic."""
     from raykg.ops import unittype as ut
-    cats = sorted(ut.CATEGORY_PATTERNS)
-    score_cols = ",\n    ".join(
-        f"len(regexp_extract_all(text, '{ut.CATEGORY_PATTERNS[c]}'))"
-        f" AS s_{c}" for c in cats)
-    total = " + ".join(f"s_{c}" for c in cats)
-    argmax_val = "CASE "
-    argmax_name = "CASE "
-    for i, c in enumerate(cats):
-        rest = [f"s_{c} >= s_{o}" for o in cats[i + 1:]]
-        cond = " AND ".join(rest) if rest else "true"
-        argmax_val += f"WHEN {cond} THEN s_{c} "
-        argmax_name += f"WHEN {cond} THEN '{c}' "
-    argmax_val += "END"
-    argmax_name += "END"
+
+    def n_regex(pats: list[str], txt: str) -> str:
+        """presence count: CAST(regexp_matches) summed (ref: re.search)."""
+        return "(" + " + ".join(
+            f"CAST(regexp_matches({txt}, '{p}') AS INT)" for p in pats) + ")"
+
+    def n_sub(kws: list[str], txt: str) -> str:
+        """presence count via substring contains (ref: ``kw in text``)."""
+        return "(" + " + ".join(
+            f"CAST(contains({txt}, {_sq(k)}) AS INT)" for k in kws) + ")"
+
+    qchars = ("coalesce(list_sum(list_transform(regexp_extract_all("
+              f"text, '{ut.QUOTE_PATTERN}', 0), x -> len(x))), 0)")
+    ratio = (f"CASE WHEN len(text) > 0 THEN {qchars} / "
+             "CAST(len(text) AS DOUBLE) ELSE 0.0 END")
+    sd = f"({ratio}) * 3.0 + {n_regex(ut.SPEECH_PATTERNS, 'tl')} * 0.3"
+
+    wc = "len(list_filter(str_split_regex({}, '\\s+'), w -> w <> ''))"
+    short_n = ("len(list_filter(str_split(tl, '.'), "
+               f"s -> {wc.format('s')} BETWEEN 4 AND 9))")
+    bonus = (f"CASE WHEN {short_n} > len(str_split(tl, '.')) / 2.0 "
+             "THEN 0.5 ELSE 0.0 END")
+    sa = (f"least({n_sub(ut.ACTION_VERBS, 'tl')} * 0.4 + {bonus}, 3.0)")
+
+    n_desc = "(" + " + ".join(
+        f"len(regexp_extract_all(tl, '{p}'))"
+        for p in ut.DESCRIPTION_INDICATORS) + ")"
+    adjs = ", ".join(_sq(a) for a in ut.DESC_ADJS)
+    n_adj = ("len(list_filter(str_split_regex(tl, '\\s+'), "
+             f"w -> w IN ({adjs})))")
+    long_bonus = (f"CASE WHEN {wc.format('tl')} > 30 THEN 0.3 "
+                  "ELSE 0.0 END")
+    sde = f"{n_desc} * 0.3 + {n_adj} * 0.2 + {long_bonus}"
+
+    st = (f"least({n_sub(ut.TRAVEL_KEYWORDS, 'tl')} * 0.35 + "
+          f"{n_sub(ut.DIRECTIONS, 'tl')} * 0.3, 3.0)")
+    sb = f"least({n_sub(ut.BATTLE_KEYWORDS, 'tl')} * 0.4, 3.5)"
+
+    n_fp = "(" + " + ".join(
+        f"CAST(contains(' ' || tl || ' ', {_sq(' ' + p + ' ')}) AS INT)"
+        for p in ut.FIRST_PERSON) + ")"
+    sr = f"{n_regex(ut.REFLECTION_INDICATORS, 'tl')} * 0.35 + {n_fp} * 0.2"
+
+    lateral = ", ".join(f"({_sq(t)}, {i}, sc_{t})"
+                        for i, t in enumerate(ut.TYPE_ORDER))
+    total = " + ".join(f"s.sc_{t}" for t in ut.TYPE_ORDER)
+    score_out = ", ".join(f"round(s.sc_{t}, 6) AS {t}_score"
+                          for t in ut.TYPE_ORDER[:5])
     return f"""
-typed_raw AS (
+typed_scores AS (
   SELECT unit_id, repo,
-    {score_cols}
-  FROM units WHERE lang = 'txt')
+    {sd} AS sc_dialogue,
+    {sa} AS sc_action,
+    {sde} AS sc_description,
+    {st} AS sc_travel,
+    {sb} AS sc_battle,
+    {sr} AS sc_reflection
+  FROM (SELECT unit_id, repo, text, lower(text) AS tl
+        FROM units WHERE lang = 'txt'))
+, typed_rank AS (
+  SELECT unit_id, x.typ, x.sc,
+         row_number() OVER (PARTITION BY unit_id
+                            ORDER BY x.sc DESC, x.rnk) AS rn
+  FROM typed_scores, LATERAL (VALUES {lateral}) x(typ, rnk, sc))
 , unit_typed AS (
-  SELECT unit_id, repo,
-    CASE WHEN ({total}) = 0 THEN 'unknown'
-         WHEN round(({argmax_val}) / CAST(({total}) AS DOUBLE), 6)
-              < {ut.CONF_THRESHOLD} THEN 'unknown'
-         ELSE ({argmax_name}) END AS unit_type,
-    CASE WHEN ({total}) = 0 THEN 0.0
-         ELSE round(({argmax_val}) / CAST(({total}) AS DOUBLE), 6)
-         END AS confidence
-  FROM typed_raw)
+  SELECT s.unit_id, s.repo,
+    CASE WHEN p.sc < 0.5 THEN 'unknown' ELSE p.typ END AS unit_type,
+    round(CASE WHEN p.sc < 0.5 THEN 0.0
+               WHEN ({total}) > 0 THEN least(1.0, p.sc / ({total}))
+               ELSE 0.0 END, 6) AS confidence,
+    CASE WHEN q.sc > 0.3 THEN q.typ ELSE 'none' END AS secondary_type,
+    {score_out}
+  FROM typed_scores s
+  JOIN typed_rank p ON p.unit_id = s.unit_id AND p.rn = 1
+  JOIN typed_rank q ON q.unit_id = s.unit_id AND q.rn = 2)
 """
 
 
@@ -2140,7 +2191,18 @@ def oracle_for(name: str, sf_dir: str) -> str:
     # canonical name/type ladder mirrors kg.nodes_bucket: the
     # REPRESENTATIVE's own seed attributes first (seed join on the group's
     # entity_id), then seed attrs seen on any known row, then top surface /
-    # label fallback.
+    # label fallback.  Per-row typing for NEW sightings = the M10 ladder
+    # (link.infer_new_type + the PERSON upgrade): label first, then the
+    # reference's place/object keyword substrings; the per-entity pick is
+    # TYPE_PRIORITY order (character > place > object > unknown).
+    from raykg.stages import link as _link
+    _pl_kw = " OR ".join(f"contains(lower(r.mention_text), {_sq(k)})"
+                         for k in _link.PLACE_INDICATORS)
+    _ob_kw = " OR ".join(f"contains(lower(r.mention_text), {_sq(k)})"
+                         for k in _link.OBJECT_INDICATORS)
+    row_type = (f"CASE WHEN r.label = 'PERSON' THEN 'character' "
+                f"WHEN {_pl_kw} THEN 'place' "
+                f"WHEN {_ob_kw} THEN 'object' ELSE 'unknown' END")
     nodes_sql = f"""
 node_names AS (
   SELECT entity_id, mention_text,
@@ -2160,13 +2222,15 @@ nodes AS (
                        ELSE max(nn.mention_text) END) AS canonical_name,
          coalesce(any_value(s.seed_type),
                   CASE WHEN bool_or(r.known) THEN max(r.known_type)
-                       WHEN bool_or(r.label = 'PERSON') THEN 'character'
+                       WHEN bool_or(({row_type}) = 'character')
+                         THEN 'character'
+                       WHEN bool_or(({row_type}) = 'place') THEN 'place'
+                       WHEN bool_or(({row_type}) = 'object') THEN 'object'
                        ELSE 'unknown' END) AS entity_type,
          CAST(sum(r.n_occurrences) AS BIGINT) AS mention_count,
          count(DISTINCT r.unit_id) AS n_units,
          count(DISTINCT CASE WHEN r.known THEN r.known_type
-                             WHEN r.label = 'PERSON' THEN 'character'
-                             ELSE 'unknown' END) AS n_types
+                             ELSE ({row_type}) END) AS n_types
   FROM resolved r
   LEFT JOIN node_names nn ON nn.entity_id = r.entity_id AND nn.rn = 1
   LEFT JOIN seed_attrs s ON s.entity_id = r.entity_id
@@ -3183,34 +3247,10 @@ ORDER BY era_ord, year, event_key LIMIT 50"""
 
     if name == "unit_types":
         from raykg.ops import unittype as ut
-        cats = sorted(ut.CATEGORY_PATTERNS)            # alphabetical
-        score_cols = ",\n    ".join(
-            f"len(regexp_extract_all(text, '{ut.CATEGORY_PATTERNS[c]}'))"
-            f" AS s_{c}" for c in cats)
-        total = " + ".join(f"s_{c}" for c in cats)
-        # alphabetical cascade == argmax with name-asc tie-break
-        argmax = "CASE "
-        for i, c in enumerate(cats):
-            rest = [f"s_{c} >= s_{o}" for o in cats[i + 1:]]
-            cond = " AND ".join(rest) if rest else "true"
-            argmax += f"WHEN {cond} THEN 's_{c}' "
-        argmax += "END"
-        top_score = "greatest(" + ", ".join(f"s_{c}" for c in cats) + ")"
-        return f"""WITH {U},
-scored AS (
-  SELECT unit_id,
-    {score_cols}
-  FROM units WHERE lang = 'txt'
-)
-SELECT unit_id,
-  CASE WHEN {total} = 0 THEN 'unknown'
-       WHEN {top_score} / CAST({total} AS DOUBLE) < {ut.CONF_THRESHOLD}
-         THEN 'unknown'
-       ELSE substr({argmax}, 3) END AS unit_type,
-  CASE WHEN {total} = 0 THEN 0.0
-       ELSE round({top_score} / CAST({total} AS DOUBLE), 6) END
-    AS confidence
-FROM scored"""
+        scores = ", ".join(f"{t}_score" for t in ut.TYPE_ORDER[:5])
+        return (f"WITH {U},{unit_typed_cte()} "
+                f"SELECT unit_id, unit_type, confidence, secondary_type, "
+                f"{scores} FROM unit_typed")
 
     if name == "voice_signatures":
         return f"""WITH {U},{spans_cte},

@@ -39,7 +39,6 @@ import re
 import pyarrow as pa
 
 from raykg import vocab
-from raykg.functions.textnorm import norm_key, slugify
 
 # --- shared pattern constants (mirrored in oracle SQL) ---
 CAP_TOKEN_PATTERN = r"\b[A-Z][a-z]+\b"
@@ -333,25 +332,3 @@ class CodeExtractor:
         return _rows_to_table(rows)
 
 
-def resolve_mention_entity(text: str, alias_index: dict[str, tuple[str, str]],
-                           label: str | None = None
-                           ) -> tuple[str, str, float, bool]:
-    """J1 lookup semantics (extract/resolver.py:72-89): exact lowercase →
-    conf 1.0; article-strip → 0.95; miss → new entity with slug id.
-
-    Returns (entity_id, entity_type, confidence, is_new).
-    """
-    key = norm_key(text)
-    hit = alias_index.get(key)
-    if hit is not None:
-        return hit[0], hit[1], 1.0, False
-    from raykg.functions.textnorm import strip_article
-    stripped = strip_article(key)
-    if stripped != key:
-        hit = alias_index.get(stripped)
-        if hit is not None:
-            return hit[0], hit[1], 0.95, False
-    etype = "character" if label == "PERSON" else (
-        "module" if label == "MODULE" else
-        "function" if label in ("FUNCTION", "CALL") else "unknown")
-    return slugify(key), etype, MENTION_CONF, True

@@ -116,7 +116,32 @@ def resolve_key(key: str, alias_index: dict[str, tuple[str, str, str]],
         if m is not None:
             hit = alias_index[m[0]]
             return hit[0], hit[1], m[1] / 100.0, False, hit[2]
-    return slugify(key), "unknown", 0.7, True, None
+    return slugify(key), infer_new_type(key), 0.7, True, None
+
+
+# M10 keyword type inference for new entities — the reference's
+# pattern-based branch of ``_infer_type`` (extract/resolver.py:237-257):
+# place indicators first, then object indicators, substring semantics.
+PLACE_INDICATORS = [
+    "mountain", "forest", "river", "lake", "sea", "land",
+    "realm", "kingdom", "city", "tower", "hall", "gate",
+    "pass", "valley", "plain", "wood", "dale", "shire",
+]
+OBJECT_INDICATORS = [
+    "ring", "sword", "staff", "jewel", "stone", "gem",
+    "crown", "armor", "helm", "blade", "bow", "arrow",
+]
+
+
+def infer_new_type(key: str) -> str:
+    """``_infer_type``'s keyword ladder over the normalized (lowercase)
+    key; the label branch (PERSON → character) is applied per sighting in
+    ResolveMentions, mirroring the reference's label_map precedence."""
+    if any(ind in key for ind in PLACE_INDICATORS):
+        return "place"
+    if any(ind in key for ind in OBJECT_INDICATORS):
+        return "object"
+    return "unknown"
 
 
 _CODE_TYPE = {"MODULE": "module", "FUNCTION": "function", "CALL": "function"}

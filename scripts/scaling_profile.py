@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Median-of-3 scaling measurement + per-stage 8-vs-32 breakdown at HEAD.
+
+Runs the KG pipeline (GRAFT_KG_ONLY) in fresh processes at num_cpus=8 and
+num_cpus=32 over the same sf4 input, three leg-pairs with cooldowns, and
+reports:
+  - per-leg wall time / triples-per-sec,
+  - median-of-3 scaling efficiency (thr_32/thr_8)/(32/8),
+  - per-stage wall_sec at each CPU count (from the lineage manifests of the
+    LAST leg at each count) with the per-stage speedup.
+
+Must run machine-exclusive: concurrent CPU load corrupts the legs.
+Usage: python scripts/scaling_profile.py [out.json]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import run_child  # noqa: E402
+
+SF_DIR = os.environ.get("GRAFT_SCALING_SF_DIR", "/tmp/raykg_scaling/sf4")
+LO, HI = 8, 32
+PAIRS = 3
+COOLDOWN = 10
+
+
+def stage_walls(ncpu: int) -> dict[str, float]:
+    from raykg.sources import synthetic_corpus as sc
+    out_root = os.path.join("/tmp/raykg_bench",
+                            f"{sc.sf_tag_of(SF_DIR)}_cpus{ncpu}")
+    walls = {}
+    for mf in glob.glob(os.path.join(out_root, "*.lineage.json")):
+        with open(mf) as f:
+            m = json.load(f)
+        walls[m["stage"]] = m["wall_sec"]
+    return walls
+
+
+def main():
+    legs = {LO: [], HI: []}
+    run_child(HI, SF_DIR)            # untimed: generate corpus + warm cache
+    time.sleep(COOLDOWN)
+    for i in range(PAIRS):
+        for ncpu in (LO, HI):
+            r = run_child(ncpu, SF_DIR)
+            legs[ncpu].append(r)
+            time.sleep(COOLDOWN)
+
+    thr_lo = statistics.median(r["triples_per_sec"] for r in legs[LO])
+    thr_hi = statistics.median(r["triples_per_sec"] for r in legs[HI])
+    eff = (thr_hi / thr_lo) / (HI / LO)
+
+    walls_lo, walls_hi = stage_walls(LO), stage_walls(HI)
+    stages = {
+        s: {"sec_8": walls_lo.get(s), "sec_32": walls_hi.get(s),
+            "speedup": (round(walls_lo[s] / walls_hi[s], 2)
+                        if walls_hi.get(s) and walls_lo.get(s) else None)}
+        for s in sorted(set(walls_lo) | set(walls_hi))}
+
+    out = {
+        "sf_dir": SF_DIR,
+        "legs_sec_8": [r["value"] for r in legs[LO]],
+        "legs_sec_32": [r["value"] for r in legs[HI]],
+        "legs_tps_8": [r["triples_per_sec"] for r in legs[LO]],
+        "legs_tps_32": [r["triples_per_sec"] for r in legs[HI]],
+        "median_tps_8": thr_lo,
+        "median_tps_32": thr_hi,
+        "scaling_efficiency": round(eff, 3),
+        "stages": stages,
+    }
+    print(json.dumps(out, indent=2))
+    if len(sys.argv) > 1:
+        with open(sys.argv[1], "w") as f:
+            json.dump(out, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -109,6 +109,11 @@ def temporal():
     return _load("bga_ref.lore.temporal", "lore/temporal.py")
 
 
+def classifier():
+    _ensure_pkgs()
+    return _load("bga_ref.style.classifier", "style/classifier.py")
+
+
 # ------------------------------------------------------- oracle invocations
 
 def ref_split(text: str, book: str = "book"):

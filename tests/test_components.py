@@ -115,3 +115,38 @@ def test_components_distributed_1m_edges(ray_session):
     assert (merged["rep"] == merged["rep_exp"]).all()
     # time budget: 38 s at 16 CPUs; generous margin for the 4-CPU fixture
     assert elapsed < 420, f"1M-edge clustering took {elapsed:.0f}s"
+
+
+def test_sum_col_contiguous_boundary_repair(ray_session):
+    """sum_col_contiguous == global groupby-sum when contig-key runs
+    straddle block boundaries (a unit spanning 1, 2 and 3+ blocks, a unit
+    occupying an entire middle block, and in-block duplicate keys)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from raykg.functions import hashagg
+
+    # file order: u1 u1 | u1 u2 u2 | u2 | u2 u3 | u3 u3 u3 u3 (5 blocks)
+    blocks = [
+        [("e1", "u1", 1), ("e2", "u1", 2)],
+        [("e1", "u1", 4), ("e1", "u2", 1), ("e1", "u2", 1)],
+        [("e1", "u2", 8)],                      # whole block one unit
+        [("e3", "u2", 16), ("e1", "u3", 1)],
+        [("e1", "u3", 2), ("e2", "u3", 1), ("e1", "u3", 4), ("e4", "u3", 8)],
+    ]
+    refs = [pa.table({"entity_id": [r[0] for r in b],
+                      "unit_id": [r[1] for r in b],
+                      "n_occurrences": [r[2] for r in b]}) for b in blocks]
+    ds = rd.from_arrow(refs)
+    out = (hashagg.sum_col_contiguous(ds, ["entity_id", "unit_id"],
+                                      "n_occurrences", contig_key="unit_id",
+                                      name="mention_count")
+           .to_pandas().sort_values(["entity_id", "unit_id"])
+           .reset_index(drop=True))
+    expect = (pd.DataFrame(
+        [r for b in blocks for r in b],
+        columns=["entity_id", "unit_id", "n_occurrences"])
+        .groupby(["entity_id", "unit_id"], as_index=False)["n_occurrences"]
+        .sum().rename(columns={"n_occurrences": "mention_count"})
+        .sort_values(["entity_id", "unit_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, expect)
+    assert len(out) == out[["entity_id", "unit_id"]].drop_duplicates().shape[0]

@@ -107,3 +107,27 @@ def test_dialogue_attribution_confidences(real_text):
             _spk, _v, conf, _tier = dlg.attribute_speaker(text, s, e)
             assert conf == pytest.approx(ln.attribution_confidence)
     assert ref_mod is not None
+
+
+def test_classifier_parity_exact(real_text):
+    """M13 six-scorer passage classification == reference classify_passage
+    on every real-prose unit: primary type, secondary type, and all five
+    exposed scores (engine computes closed-form products; the reference
+    accumulates sequentially — equal to float ulps)."""
+    from raykg.ops import unittype as ut
+    cl = ref_oracle.classifier()
+    n = 0
+    for _c, _p, _s, _off, text in sp.split_doc(real_text, "txt"):
+        ref = cl.classify_passage(text)
+        mine = ut.classify(text)
+        assert mine["unit_type"] == ref.primary_type.value, text
+        ref_secondary = (ref.secondary_type.value if ref.secondary_type
+                         else "none")
+        assert mine["secondary_type"] == ref_secondary, text
+        assert mine["confidence"] == pytest.approx(ref.confidence, abs=1e-6)
+        for field in ("dialogue", "action", "description", "travel",
+                      "battle"):
+            assert mine[f"{field}_score"] == pytest.approx(
+                getattr(ref, f"{field}_score"), abs=1e-6), (field, text)
+        n += 1
+    assert n > 100
