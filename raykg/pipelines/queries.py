@@ -1561,6 +1561,34 @@ def q_timeline_before(sf_dir: str):
             .map_groups(tmp.happened_before_group, batch_format="pandas"))
 
 
+def q_gen_scenes(sf_dir: str):
+    """#8 generation pipeline (generate/generator.py:179-327) driven
+    end-to-end: KG context via filtered parquet reads, constitutional
+    critique loop, judge scoring, writer table — deterministic because the
+    model server is absent (every LLM call degrades per the reference
+    contract; see tests/test_generate.py for the stub-backend loop).
+    No SQL oracle: LLM-gated operator, rows-only check."""
+    import pyarrow.dataset as pads
+    from raykg.ops import generate as gen
+    p = kg_paths(sf_dir)
+    chars = (pads.dataset(p["nodes"]).to_table(
+        columns=["canonical_name", "entity_type", "mention_count"],
+        filter=pc.equal(pc.field("entity_type"), "character"))
+        .sort_by([("mention_count", "descending"),
+                  ("canonical_name", "ascending")]))
+    names = chars["canonical_name"].to_pylist()[:5]
+    places = (pads.dataset(p["nodes"]).to_table(
+        columns=["canonical_name", "entity_type", "mention_count"],
+        filter=pc.equal(pc.field("entity_type"), "place"))
+        .sort_by([("mention_count", "descending"),
+                  ("canonical_name", "ascending")]))
+    place = (places["canonical_name"].to_pylist() or [None])[0]
+    g = gen.SceneGenerator(p)            # no model server → degrades
+    scenes = [g.generate_scene(f"A scene about {n}", [n], place)
+              for n in names]
+    return gen.scenes_to_table(scenes)
+
+
 # ------------------------------------------------------------- oracle SQL
 
 def _trim(e: str) -> str:
@@ -3434,6 +3462,7 @@ QUERY_FNS = {
     "kg_corpus_stats": q_kg_corpus_stats,
     "kg_fuzzy_links": q_kg_fuzzy_links,
     "lore_check": q_lore_check,
+    "gen_scenes": q_gen_scenes,                     # no SQL oracle (LLM)
     "timeline_entities": q_timeline_entities,
     "timeline_alive": q_timeline_alive,
     "timeline_order": q_timeline_order,
@@ -3447,4 +3476,5 @@ QUERY_FNS = {
 }
 
 # queries with no SQL-expressible oracle → driver records rows-only check
-NO_ORACLE = frozenset({"dedup_minhash_pairs", "simhash", "ann_lsh"})
+NO_ORACLE = frozenset({"dedup_minhash_pairs", "simhash", "ann_lsh",
+                       "gen_scenes"})

@@ -27,6 +27,12 @@ a default); what belongs to the operator inventory is the STRUCTURE:
 * ``LLMEntityStage``  — the actor-pool seam: client built once per actor
   in ``__init__``; per-batch extraction; [] on every failure (the
   pipeline never stalls on a dead model server).
+* ``LLMRelationshipStage`` / ``LLMEventStage`` — R3/R5 actor stages with
+  the same degradation contract; events carry the reference's
+  events+relations dict payload (``parse_llm_event_payload``).
+* ``llm_synthesize_rules`` — A15 rule synthesis with the reference's
+  pattern-path fallback on any LLM failure
+  (``worldbible/extractor.py:198-300``).
 """
 
 from __future__ import annotations
@@ -248,3 +254,191 @@ class LLMEntityStage:
         return pd.DataFrame(rows, columns=[
             "unit_id", "mention_text", "label", "start_char", "end_char",
             "confidence", "source"])
+
+
+_REL_PROMPT = """Extract relationships between entities in this sentence.
+
+Entities present: {entities}
+
+Sentence: "{text}"
+
+Return a JSON array of relationships with keys "subject", "predicate" \
+(one of: {preds}), "object", optional "indirect_object".
+Return empty array [] if none found.
+
+JSON array:"""
+
+
+class LLMRelationshipStage:
+    """R3 actor-pool stage (relationships.py:278-382): per prose unit,
+    prompt with the unit's entity context, coerce predicates to the
+    closed vocabulary; any failure → no rows for that unit.  Expects an
+    optional ``entities`` column (comma-joined mention surfaces) — absent
+    means no context line, as the reference does with an empty list."""
+
+    def __init__(self, backend=None):
+        self.client = LLMClient(backend)
+        self.preds = ", ".join(sorted(set(vocab.PREDICATES)))
+
+    def extract(self, text: str, entities: str = "") -> list[tuple]:
+        if not self.client.is_available:
+            return []
+        resp = self.client.generate(
+            _REL_PROMPT.format(entities=entities, text=text,
+                               preds=self.preds), temperature=0.1,
+            timeout=30.0)
+        return parse_llm_relationships(extract_json(resp))
+
+    def __call__(self, t: pa.Table) -> pd.DataFrame:
+        ents = (t["entities"].to_pylist() if "entities" in t.schema.names
+                else [""] * t.num_rows)
+        rows = []
+        for uid, lang, text, ectx in zip(t["unit_id"].to_pylist(),
+                                         t["lang"].to_pylist(),
+                                         t["text"].to_pylist(), ents):
+            if lang != "txt":
+                continue
+            for s, p, o, conf in self.extract(text, ectx or ""):
+                rows.append((uid, s, p, o, conf, "llm"))
+        return pd.DataFrame(rows, columns=[
+            "unit_id", "subj", "pred", "obj", "confidence", "source"])
+
+
+_EVENT_PROMPT = """Extract key events from this fantasy text.  For each \
+event identify description, agent, action, patient, year, era.
+Also identify temporal relations between events (before / caused).
+
+Text:
+{text}
+
+Return JSON with two arrays "events" (objects with id, description, \
+agent, action, patient, year, era) and "relations" (objects with \
+from_id, to_id, relation):"""
+
+
+def parse_llm_event_payload(data) -> tuple[list[tuple], list[tuple]]:
+    """lore/events.py:560-619 payload coercion: a dict with ``events`` /
+    ``relations`` arrays (the LLM event prompt's contract).  Events
+    missing agent or action are dropped; years coerce to int or None;
+    eras lowercase; relations referencing dropped/unknown ids are
+    dropped.  A bare list is treated as events-only (salvage tolerance)."""
+    if isinstance(data, list):
+        data = {"events": data, "relations": []}
+    if not isinstance(data, dict):
+        return [], []
+    events, kept_ids = [], set()
+    for item in data.get("events") or []:
+        if not isinstance(item, dict):
+            continue
+        agent, action = item.get("agent"), item.get("action")
+        if not agent or not action:
+            continue
+        year = item.get("year")
+        try:
+            year = int(year) if year is not None else None
+        except (TypeError, ValueError):
+            year = None
+        era = item.get("era")
+        era = str(era).lower() if era else None
+        eid = str(item.get("id", f"ev{len(events)}"))
+        kept_ids.add(eid)
+        events.append((eid, str(item.get("description", "")), str(agent),
+                       str(action), str(item.get("patient", "")), year,
+                       era))
+    relations = []
+    for item in data.get("relations") or []:
+        if not isinstance(item, dict):
+            continue
+        a, b = item.get("from_id"), item.get("to_id")
+        rel = str(item.get("relation", "")).lower()
+        if (str(a) in kept_ids and str(b) in kept_ids
+                and rel in ("before", "caused")):
+            relations.append((str(a), str(b), rel))
+    return events, relations
+
+
+class LLMEventStage:
+    """R5 actor-pool stage (lore/events.py:529-619): per prose chunk,
+    prompt → salvage → events + temporal relations; the reference's
+    4000-char prompt cap is kept; failures yield nothing for the chunk."""
+
+    TEXT_CAP = 4000              # lore/events.py:537
+
+    def __init__(self, backend=None):
+        self.client = LLMClient(backend)
+
+    def extract(self, text: str) -> tuple[list[tuple], list[tuple]]:
+        if not self.client.is_available:
+            return [], []
+        resp = self.client.generate(
+            _EVENT_PROMPT.format(text=text[:self.TEXT_CAP]),
+            temperature=0.3, timeout=120.0)
+        return parse_llm_event_payload(extract_json(resp))
+
+    def __call__(self, t: pa.Table) -> pd.DataFrame:
+        rows = []
+        for uid, lang, text in zip(t["unit_id"].to_pylist(),
+                                   t["lang"].to_pylist(),
+                                   t["text"].to_pylist()):
+            if lang != "txt":
+                continue
+            events, relations = self.extract(text)
+            for eid, desc, agent, action, patient, year, era in events:
+                rows.append((uid, "event", eid, desc, agent, action,
+                             patient, year, era, None, None, None))
+            for a, b, rel in relations:
+                rows.append((uid, "relation", None, None, None, None,
+                             None, None, None, a, b, rel))
+        return pd.DataFrame(rows, columns=[
+            "unit_id", "kind", "event_id", "description", "agent",
+            "action", "patient", "year", "era", "from_id", "to_id",
+            "relation"])
+
+
+# ------------------------------------------------- A15 LLM rule synthesis
+
+_RULE_PROMPT = """Based on these passages, extract specific \
+world-building rules about {category}.
+
+Passages:
+{context}
+
+Return a JSON array of objects with keys "title", "description", \
+"constraints" (array), "exceptions" (array).  Only include rules clearly \
+supported by the text.
+
+JSON array:"""
+
+
+def llm_synthesize_rules(client: LLMClient, category: str,
+                         passages: list[str],
+                         pattern_fallback=None) -> list[dict]:
+    """A15 (worldbible/extractor.py:198-300): context = first 20 passages
+    truncated to 300 chars; LLM failure or malformed payload falls back to
+    the pattern path (``pattern_fallback()`` — the wb_rules computation);
+    accepted rules get id f"{category}_{i}" and confidence 0.8."""
+    if not passages:
+        return []
+    ctx = "\n".join(
+        f"- {p[:300]}..." if len(p) > 300 else f"- {p}"
+        for p in passages[:20])
+    resp = client.generate(_RULE_PROMPT.format(category=category,
+                                               context=ctx),
+                           temperature=0.3, timeout=120.0)
+    data = extract_json(resp) if resp else None
+    if not data or not isinstance(data, list):
+        return pattern_fallback() if pattern_fallback is not None else []
+    rules = []
+    for i, item in enumerate(data):
+        if not isinstance(item, dict) or "title" not in item:
+            continue
+        rules.append({
+            "rule_id": f"{category}_{i}",
+            "title": str(item.get("title", "Unknown")),
+            "description": str(item.get("description", "")),
+            "category": category,
+            "confidence": 0.8,
+            "constraints": [str(c) for c in item.get("constraints") or []],
+            "exceptions": [str(e) for e in item.get("exceptions") or []],
+        })
+    return rules

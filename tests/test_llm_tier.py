@@ -82,3 +82,74 @@ def test_llm_entity_stage_actor_and_degradation():
     assert out.iloc[0]["mention_text"] == "Gandalf"
     assert out.iloc[0]["source"] == "llm"
     assert stub.calls == 2          # one prompt per unit, errors absorbed
+
+
+def test_llm_relationship_stage_actor_and_coercion():
+    batch = pa.table({"unit_id": ["u1", "u2"], "lang": ["txt", "txt"],
+                      "text": ["Frodo met Sam.", "Nothing here."],
+                      "entities": ["Frodo, Sam", ""]})
+    # dead backend: zero rows, never raises
+    assert len(llm.LLMRelationshipStage()(batch)) == 0
+    stub = llm.StubBackend(
+        {"Frodo met Sam.": '[{"subject": "Frodo", "predicate": "met", '
+                           '"object": "Sam"}, {"subject": "Frodo", '
+                           '"predicate": "teleported", "object": "Sam"}]'})
+    out = llm.LLMRelationshipStage(stub)(batch)
+    assert list(out["pred"]) == ["MET", "RELATED_TO"]
+    assert out.iloc[0]["subj"] == "Frodo" and out.iloc[0]["source"] == "llm"
+    assert stub.calls == 2
+
+
+def test_llm_event_payload_coercion():
+    events, rels = llm.parse_llm_event_payload(
+        {"events": [
+            {"id": "e1", "agent": "Bilbo", "action": "found",
+             "patient": "the Ring", "year": "2941", "era": "Third_Age"},
+            {"id": "e2", "agent": "Smaug", "action": "burned"},
+            {"agent": "x"},                        # no action → dropped
+        ],
+         "relations": [
+            {"from_id": "e1", "to_id": "e2", "relation": "BEFORE"},
+            {"from_id": "e1", "to_id": "ghost", "relation": "before"},
+            {"from_id": "e1", "to_id": "e2", "relation": "unrelated"},
+        ]})
+    assert [e[0] for e in events] == ["e1", "e2"]
+    assert events[0][5] == 2941 and events[0][6] == "third_age"
+    assert rels == [("e1", "e2", "before")]
+    # bare list tolerated as events-only
+    ev2, r2 = llm.parse_llm_event_payload(
+        [{"agent": "A", "action": "did"}])
+    assert len(ev2) == 1 and r2 == []
+
+
+def test_llm_event_stage_degradation():
+    batch = pa.table({"unit_id": ["u1"], "lang": ["txt"],
+                      "text": ["Bilbo found the Ring."]})
+    assert len(llm.LLMEventStage()(batch)) == 0
+    stub = llm.StubBackend(
+        {"Bilbo found": '{"events": [{"id": "e1", "agent": "Bilbo", '
+                        '"action": "found", "patient": "the Ring"}], '
+                        '"relations": []}'})
+    out = llm.LLMEventStage(stub)(batch)
+    assert len(out) == 1 and out.iloc[0]["agent"] == "Bilbo"
+
+
+def test_llm_rule_synthesis_fallback_and_accept():
+    passages = ["Only the Eldar may wield the silmaril lights." * 12]
+    fallback_rows = [{"rule_id": "magic_pattern_0", "title": "t"}]
+    dead = llm.LLMClient(llm.OllamaBackend())
+    assert llm.llm_synthesize_rules(
+        dead, "magic", passages,
+        pattern_fallback=lambda: fallback_rows) == fallback_rows
+    assert llm.llm_synthesize_rules(dead, "magic", []) == []
+    stub = llm.LLMClient(llm.StubBackend(
+        {"world-building rules about magic":
+         '```json\n[{"title": "Silmaril exclusivity", "description": '
+         '"Only the Eldar wield them", "constraints": ["Eldar only"], '
+         '"exceptions": []}]\n```'}))
+    rules = llm.llm_synthesize_rules(stub, "magic", passages)
+    assert rules[0]["rule_id"] == "magic_0"
+    assert rules[0]["confidence"] == 0.8
+    assert rules[0]["constraints"] == ["Eldar only"]
+    # context truncation: 300-char cap per passage
+    assert len(passages[0]) > 300
