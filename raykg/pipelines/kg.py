@@ -189,18 +189,30 @@ def default_out_root(sf_dir: str) -> str:
 
 
 def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
-             extract_concurrency=None, batch_size: int = 1024) -> dict:
+             extract_concurrency=None, batch_size: int = 1024,
+             llm_backend=None) -> dict:
     """Run the full pipeline for one sf dir; returns dict of output paths.
 
     Idempotent/resumable: completed stages (lineage manifest present) are
     skipped unless ``force``.  ``extract_concurrency``: pass an int/tuple to
     run extractors as an actor pool (heavy-model path); default None runs
     them as stateless tasks.
+
+    ``llm_backend`` enables the LLM extraction tier (M7/R3/R5 — the
+    reference's ``use_llm`` gate, ``extract/extractor.py:44-54``): the
+    prose extractor runs as an ACTOR POOL (client built once per actor)
+    and LLM mentions/relations/events merge into the extract stream with
+    method='llm'.  Default None = pattern-only, byte-identical output.
+    Pass a distinct ``out_root`` (or rely on the automatic ``_llm``
+    suffix) so LLM and non-LLM runs never share stage checkpoints.
     """
     data_dir = sc.generate(sf_dir)
     corpus_path = os.path.join(data_dir, "corpus.parquet")
     alias_path = os.path.join(data_dir, "alias_table.parquet")
-    out_root = out_root or default_out_root(sf_dir)
+    if out_root is None:
+        out_root = default_out_root(sf_dir)
+        if llm_backend is not None:
+            out_root += "_llm"
     os.makedirs(out_root, exist_ok=True)
     n_blocks = _ncpu() * 2
 
@@ -234,14 +246,18 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
         units = rd.read_parquet(
             units_dir,
             columns=["unit_id", "doc_sha256", "repo", "path", "lang", "text"])
-        if extract_concurrency is not None:
+        if extract_concurrency is not None or llm_backend is not None:
+            # actor pool: model/client state built once per actor (ST1/ST4)
+            conc = extract_concurrency if extract_concurrency is not None \
+                else (1, max(2, _ncpu() // 2))
             prose = units.map_batches(
                 extract.UnitExtractor, batch_format="pyarrow",
                 batch_size=batch_size, zero_copy_batch=True,
-                concurrency=extract_concurrency)
+                concurrency=conc,
+                fn_constructor_kwargs={"llm_backend": llm_backend})
             code = read_corpus().map_batches(
                 extract.CodeExtractor, batch_format="pyarrow",
-                batch_size=64, concurrency=extract_concurrency)
+                batch_size=64, concurrency=conc)
         else:
             prose = units.map_batches(
                 extract_units_fn, batch_format="pyarrow",

@@ -127,9 +127,20 @@ _NER_RES = tuple(re.compile(p, re.IGNORECASE) for p in vocab.NER_PATTERNS)
 
 
 class UnitExtractor:
-    """Actor-pool callable: units batch → unified extraction rows."""
+    """Actor-pool callable: units batch → unified extraction rows.
 
-    def __init__(self):
+    ``llm_backend`` (M7/R3/R5 wiring, reference ``extract/ner.py:95-99``):
+    when given, an :class:`raykg.state.llm.LLMClient` is built ONCE per
+    actor and a third extraction tier runs per unit — LLM entity spans
+    join the pattern/cap-token spans BEFORE overlap dedup (exactly where
+    the reference inserts them), LLM relationships merge into the
+    within-unit rel dedup keeping max confidence
+    (``extract/relationships.py:384-398``), and LLM events emit
+    agent/action/patient rows.  Every LLM failure degrades to no extra
+    rows; ``llm_backend=None`` (the default) is byte-identical to the
+    pattern-only path."""
+
+    def __init__(self, llm_backend=None):
         self.cap_re = re.compile(CAP_TOKEN_PATTERN)
         self.ner_res = tuple(re.compile(p, re.IGNORECASE)
                              for p in vocab.NER_PATTERNS)
@@ -137,6 +148,12 @@ class UnitExtractor:
         self.alias_re = re.compile(ALIAS_STMT_PATTERN)
         self.era_re = re.compile(ERA_YEAR_PATTERN)
         self.blocklist = frozenset(vocab.CAP_BLOCKLIST)
+        self.ner_tier = self.rel_tier = self.event_tier = None
+        if llm_backend is not None:
+            from raykg.state import llm as llm_mod
+            self.ner_tier = llm_mod.LLMEntityStage(llm_backend)
+            self.rel_tier = llm_mod.LLMRelationshipStage(llm_backend)
+            self.event_tier = llm_mod.LLMEventStage(llm_backend)
 
     def _rows_for_unit(self, meta: tuple, text: str, rows: list):
         unit_id, sha, repo, path, lang = meta
@@ -153,31 +170,45 @@ class UnitExtractor:
         # deduped with the reference's exact algorithm (ner.py:262-290) —
         # a cap token inside a kept pattern span is suppressed for that
         # occurrence.  One output row per (unit, surface, label).
-        spans = pattern_entities(text, self.ner_res)
+        spans = [sp + ("pattern",)
+                 for sp in pattern_entities(text, self.ner_res)]
         for m in self.cap_re.finditer(text):
             tok = m.group(0)
             if tok in self.blocklist:
                 continue
-            spans.append((m.start(), m.end(), MENTION_CONF, tok, "UNKNOWN"))
-        occ: dict[tuple[str, str, float], list[tuple[int, int]]] = {}
-        for s, e, conf, txt, label in dedup_overlapping_spans(spans):
-            occ.setdefault((txt, label, conf), []).append((s, e))
-        for (txt, label, conf), sps in occ.items():
-            emit(KIND_MENTION, txt, label=label, conf=conf,
+            spans.append((m.start(), m.end(), MENTION_CONF, tok, "UNKNOWN",
+                          "pattern"))
+        if self.ner_tier is not None:
+            # third tier joins the span list BEFORE dedup (ner.py:95-101)
+            for etext, label, s, e, conf, src in self.ner_tier.extract(text):
+                spans.append((s, e, conf, etext, label, src))
+        occ: dict[tuple[str, str, float, str], list[tuple[int, int]]] = {}
+        for s, e, conf, txt, label, src in dedup_overlapping_spans(spans):
+            occ.setdefault((txt, label, conf, src), []).append((s, e))
+        for (txt, label, conf, src), sps in occ.items():
+            emit(KIND_MENTION, txt, label=label, conf=conf, method=src,
                  start=sps[0][0], end=sps[0][1], n_occ=len(sps))
 
-        # candidate relations (within-unit dedup = max conf per key; all
-        # pattern confs are equal so dedup == distinct)
-        seen_rel = set()
+        # candidate relations — within-unit dedup keeps MAX confidence per
+        # (subj, pred, obj) key (relationships.py:384-398); all pattern
+        # confs are equal so the pattern-only path reduces to distinct.
+        rels: dict[tuple, tuple] = {}
         for m in self.svo_re.finditer(text):
             s, verb, o = m.group(1), m.group(2), m.group(3)
             pred = vocab.VERB_PHRASE_TO_PRED.get(verb, vocab.FALLBACK_PREDICATE)
             key = (s.lower(), pred, o.lower())
-            if key in seen_rel:
-                continue
-            seen_rel.add(key)
-            emit(KIND_REL, s, pred=pred, obj=o, conf=REL_CONF,
-                 start=m.start(), end=m.end())
+            if key not in rels:
+                rels[key] = (s, pred, o, REL_CONF, "pattern",
+                             m.start(), m.end())
+        if self.rel_tier is not None:
+            ectx = ", ".join(sorted({k[0] for k in occ}))
+            for s, p, o, conf in self.rel_tier.extract(text, ectx):
+                key = (s.lower(), p, o.lower())
+                if key not in rels or conf > rels[key][3]:
+                    rels[key] = (s, p, o, conf, "llm", -1, -1)
+        for s, pred, o, conf, src, ms, me in rels.values():
+            emit(KIND_REL, s, pred=pred, obj=o, conf=conf, method=src,
+                 start=ms, end=me)
 
         # alias statements → union-find edges
         for m in self.alias_re.finditer(text):
@@ -192,6 +223,14 @@ class UnitExtractor:
                 s, verb, o = m.group(1), m.group(2), m.group(3)
                 emit(KIND_EVENT, s, pred=verb, obj=o, conf=EVENT_CONF,
                      era=era, year=year)
+        if self.event_tier is not None:
+            # R5: LLM agent/action/patient events (lore/events.py:529-619);
+            # the payload's before/caused relations feed the standalone
+            # timeline stage, not the extract row schema.
+            events, _relations = self.event_tier.extract(text)
+            for _eid, _desc, agent, action, patient, year, era in events:
+                emit(KIND_EVENT, agent, pred=action, obj=patient,
+                     conf=0.85, method="llm", era=era, year=year)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows: list[tuple] = []

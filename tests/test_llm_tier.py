@@ -153,3 +153,93 @@ def test_llm_rule_synthesis_fallback_and_accept():
     assert rules[0]["constraints"] == ["Eldar only"]
     # context truncation: 300-char cap per passage
     assert len(passages[0]) > 300
+
+
+# ---------------------------------------------------- pipeline wiring (M7/R3/R5)
+
+def _unit_batch(texts):
+    n = len(texts)
+    return pa.table({
+        "unit_id": [f"u{i}" for i in range(n)],
+        "doc_sha256": ["s"] * n, "repo": ["r"] * n, "path": ["p"] * n,
+        "lang": ["txt"] * n, "text": texts})
+
+
+def test_unit_extractor_llm_tier_joins_span_dedup():
+    """LLM spans enter dedup_overlapping_spans alongside pattern/cap spans
+    (ner.py:95-101): an LLM span at conf .85 loses overlap against a
+    pattern span (.9) but beats a bare cap token (.7)."""
+    from raykg.stages.extract import UnitExtractor, KIND_MENTION
+    text = "Eryndor walked with King Aldric of Valewood."
+    stub = llm.StubBackend(
+        {text: '[{"text": "Eryndor", "type": "PERSON"},'
+               ' {"text": "King Aldric", "type": "PERSON"}]'})
+    out = UnitExtractor(llm_backend=stub)(_unit_batch([text]))
+    rows = {(r["subj"], r["method"], round(r["confidence"], 2))
+            for r in out.to_pylist() if r["kind"] == KIND_MENTION}
+    # "Eryndor": llm .85 replaces the cap token .7 (longer+higher)
+    assert ("Eryndor", "llm", 0.85) in rows
+    assert ("Eryndor", "pattern", 0.7) not in rows
+    # title-pattern span at .9 survives against the overlapping llm span
+    assert ("King Aldric of Valewood", "pattern", 0.9) in rows
+    assert ("King Aldric", "llm", 0.85) not in rows
+
+
+def test_unit_extractor_llm_rel_and_event_rows():
+    from raykg.stages import extract as ex
+    text = "Arwen told Elrond."
+    stub = llm.StubBackend({
+        "Extract relationships":
+            '[{"subject": "Arwen", "predicate": "spoke to",'
+            ' "object": "Elrond"},'
+            ' {"subject": "Elrond", "predicate": "sheltered,",'
+            ' "object": "Arwen"}]',
+        "Extract key events":
+            '{"events": [{"id": "e1", "description": "d", "agent": "Arwen",'
+            ' "action": "fled", "patient": "Mordor", "year": 12,'
+            ' "era": "Third"}], "relations": []}'})
+    out = ex.UnitExtractor(llm_backend=stub)(_unit_batch([text]))
+    rels = [r for r in out.to_pylist() if r["kind"] == ex.KIND_REL]
+    # pattern SVO found (Arwen, TRUSTED, Elrond) at .7; the llm row for the
+    # SAME key wins on conf (.85) per relationships.py:384-398 max-conf dedup
+    same = [r for r in rels if r["subj"] == "Arwen"
+            and r["pred"] == "SPOKE_TO"]
+    assert len(same) == 1 and same[0]["method"] == "llm"
+    assert same[0]["confidence"] == 0.85
+    # unknown predicate coerced to RELATED_TO
+    assert any(r["pred"] == "RELATED_TO" and r["method"] == "llm"
+               for r in rels)
+    evs = [r for r in out.to_pylist() if r["kind"] == ex.KIND_EVENT
+           and r["method"] == "llm"]
+    assert len(evs) == 1 and evs[0]["subj"] == "Arwen"
+    assert evs[0]["era"] == "third" and evs[0]["year"] == 12
+
+
+def test_unit_extractor_default_path_unchanged():
+    """llm_backend=None must stay byte-identical to the pattern-only path
+    (every oracle depends on it)."""
+    from raykg.stages.extract import UnitExtractor
+    texts = ["Eryndor walked with King Aldric of Valewood.",
+             "In the Third Age, year 12, Arwen trusted Elrond."]
+    base = UnitExtractor()(_unit_batch(texts))
+    dead = UnitExtractor(llm_backend=llm.OllamaBackend())(_unit_batch(texts))
+    assert base.equals(dead)
+
+
+def test_build_kg_llm_tier_end_to_end(tmp_path):
+    """build_kg(llm_backend=...) runs the extractor as an actor pool and
+    the LLM mentions flow through resolution into the mentions table."""
+    import ray.data as rd
+    from raykg.pipelines import kg
+    stub = llm.StubBackend(
+        {"Extract all named entities":
+         '[{"text": "Zanthrope", "type": "PERSON"}]'})
+    paths = kg.build_kg("/root/testdata/sf0.001",
+                        out_root=str(tmp_path / "llm_out"),
+                        llm_backend=stub)
+    ext = kg.read_extract_kind(paths["extract"], "mention")
+    llm_rows = ext.filter(lambda r: r["method"] == "llm").count()
+    assert llm_rows > 0
+    men = rd.read_parquet(paths["mentions"]).filter(
+        lambda r: r["mention_text"] == "Zanthrope")
+    assert men.count() > 0
