@@ -241,6 +241,68 @@ def first_by(ds: rd.Dataset, keys: Sequence[str], order_by: Sequence[str],
     return grouped_apply(ds, keys, pick, pick, num_buckets)
 
 
+def cogroup_apply(sources, keys: Sequence[str],
+                  final_fn: Callable[[list[pd.DataFrame]], pd.DataFrame],
+                  num_buckets: int = DEFAULT_BUCKETS,
+                  coalesce: int | None = None) -> rd.Dataset:
+    """Co-group N datasets through ONE bucketed shuffle (Spark's cogroup).
+
+    ``sources``: list of ``(ds, partial_fn, columns)`` where ``columns`` is
+    a dict of the partial output's column name → pandas dtype string (keys
+    included).  Every source's partials are padded to the UNION of all
+    sources' columns (typed nulls) + a ``__src`` marker, unioned, and
+    shuffled once on ``hash(keys)``; ``final_fn`` receives one DataFrame
+    per source (only that source's columns) holding all rows of the bucket
+    and returns the merged/aggregated result.
+
+    This replaces the aggregate→aggregate→``Dataset.join`` plan (two
+    shuffles + a hash-join operator whose aggregator-actor startup costs
+    seconds even on empty inputs) with a single shuffle: same key lives in
+    the same bucket for every source, so the merge is a vectorized
+    in-bucket pandas merge."""
+    keys = list(keys)
+    pl = _pl()
+    all_cols: dict[str, str] = {}
+    for _, _, cols in sources:
+        for c, dt in cols.items():
+            all_cols.setdefault(c, dt)
+
+    def wrap(src_idx: int, partial_fn, own_cols: dict[str, str]):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            if partial_fn is not None:
+                df = partial_fn(df)
+            df = df.reset_index(drop=True)
+            out = pd.DataFrame(index=df.index)
+            for c, dt in all_cols.items():
+                if c in own_cols:
+                    out[c] = df[c].astype(dt)
+                else:
+                    out[c] = pd.Series(pd.NA, index=df.index, dtype=dt)
+            out["__src"] = src_idx
+            if len(out) == 0:
+                out["__bucket"] = pd.Series([], dtype="int64")
+            else:
+                out["__bucket"] = _bucket_expr(
+                    pl.from_pandas(out[keys]), keys, num_buckets).to_numpy()
+            return out
+        return f
+
+    mapped = sources[0][0].map_batches(
+        wrap(0, sources[0][1], sources[0][2]), batch_format="pandas")
+    for i, (ds, pf, cols) in enumerate(sources[1:], start=1):
+        mapped = mapped.union(
+            ds.map_batches(wrap(i, pf, cols), batch_format="pandas"))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket")
+        frames = []
+        for i, (_, _, cols) in enumerate(sources):
+            frames.append(g[g["__src"] == i][list(cols)])
+        return final_fn(frames)
+
+    return _finish(mapped, per_bucket, coalesce)
+
+
 def coalesced_join(left: rd.Dataset, right: rd.Dataset, on,
                    join_type: str = "inner",
                    num_partitions: int = 8) -> rd.Dataset:

@@ -41,6 +41,7 @@ import os
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
@@ -52,6 +53,14 @@ from raykg.state import lineage
 
 TYPE_PRIORITY = ("character", "place", "object", "module", "function",
                  "unknown")
+
+# Size gate for broadcast-vs-shuffle join sides (rows).  Below this a
+# lookup side is ray.put once and applied per batch (no shuffle); above
+# it the stage falls back to a bucketed hash join.  2M string→string rows
+# ≈ 200 MB in a worker heap — comfortably broadcastable; code-symbol node
+# tables at corpus scale blow past it and take the join path.
+BROADCAST_MAX_ROWS = int(os.environ.get("RAYKG_BROADCAST_MAX_ROWS",
+                                        2_000_000))
 
 _WORKER_STATE: dict[str, object] = {}
 
@@ -368,11 +377,6 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
                      for eid, etype, name in idx.values()}
             return nodes_bucket(g, seed_map=seeds)
 
-        names = hashagg.grouped_apply(
-            rd.read_parquet(mentions_dir,
-                            columns=surf_partial_cols + ["n_occurrences"]),
-            ["entity_id"], nodes_bucket_seeded, surf_partial, coalesce=8)
-
         # mention_edges rows are globally DISTINCT (entity, unit) pairs, so
         # per-batch counts are a valid combiner — the shuffle ships partial
         # sums, not the 1-row-per-pair table
@@ -393,15 +397,29 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
                          first_seen_unit=pl.col("first_seen_unit").min())
                     .to_pandas())
 
-        stats = hashagg.grouped_apply(
-            rd.read_parquet(mention_edges_dir), ["entity_id"], stats_final,
-            stats_partial, coalesce=8)
-        (names.join(stats, join_type="inner", num_partitions=8,
-                    on=("entity_id",))
-         .map_batches(lambda df: df[[
-             "entity_id", "canonical_name", "entity_type", "mention_count",
-             "n_units", "n_types", "first_seen_unit"]],
-             batch_format="pandas")
+        # ONE bucketed shuffle co-locates both aggregations by entity_id;
+        # the surface/name rollup and the unit stats merge in-bucket — no
+        # Dataset.join (its aggregator-actor pool costs ~4 s of fixed
+        # startup per join regardless of data size)
+        def nodes_final(frames: list[pd.DataFrame]) -> pd.DataFrame:
+            names_df = nodes_bucket_seeded(frames[0])
+            stats_df = stats_final(frames[1])
+            out = names_df.merge(stats_df, on="entity_id", how="inner")
+            return out[["entity_id", "canonical_name", "entity_type",
+                        "mention_count", "n_units", "n_types",
+                        "first_seen_unit"]]
+
+        (hashagg.cogroup_apply(
+            [(rd.read_parquet(mentions_dir,
+                              columns=surf_partial_cols + ["n_occurrences"]),
+              surf_partial,
+              {"entity_id": "object", "mention_text": "object",
+               "entity_type": "object", "is_new": "boolean",
+               "resolved_name": "object", "n_occurrences": "Int64"}),
+             (rd.read_parquet(mention_edges_dir), stats_partial,
+              {"entity_id": "object", "mention_count": "Int64",
+               "n_units": "Int64", "first_seen_unit": "object"})],
+            ["entity_id"], nodes_final)
          .map_batches(strip_meta, batch_format="pyarrow")
          .write_parquet(tmp))
 
@@ -446,36 +464,65 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
                                  batch_size=8192))
         merged = hashagg.grouped_apply(partials,
                                        ["subj_id", "pred", "obj_id"],
-                                       triples_bucket)
-        # entity typing via bucketed hash joins against the nodes table —
-        # code-symbol nodes scale WITH the corpus, so this side is a real
-        # join, not a driver-collected broadcast dict
-        nodes_s = rd.read_parquet(
-            nodes_dir, columns=["entity_id", "entity_type"]).map_batches(
-            lambda df: df.rename(columns={"entity_id": "subj",
-                                          "entity_type": "subj_type"}),
-            batch_format="pandas")
-        nodes_o = rd.read_parquet(
-            nodes_dir, columns=["entity_id", "entity_type"]).map_batches(
-            lambda df: df.rename(columns={"entity_id": "obj",
-                                          "entity_type": "obj_type"}),
-            batch_format="pandas")
+                                       triples_bucket, coalesce=8)
 
-        def finish(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["subj_type"] = df["subj_type"].fillna("unknown")
-            df["obj_type"] = df["obj_type"].fillna("unknown")
-            df["passage_ids"] = df["passage_ids_str"].str.split("\x1f")
-            return df[["subj", "pred", "obj", "subj_type", "obj_type",
-                       "mention_count", "n_units", "passage_ids",
-                       "confidence"]]
+        # entity typing against the nodes table — SIZE-GATED strategy:
+        # prose entity vocabularies are bounded (thousands), but
+        # code-symbol nodes scale WITH the corpus (every defined function),
+        # so neither "always broadcast" nor "always shuffle-join" is right.
+        # Below the threshold the (entity_id → type) map is ray.put once
+        # and applied as a vectorized per-batch .map (zero shuffle, zero
+        # join-actor startup); above it, two bucketed hash joins.  The
+        # parquet row count comes from file metadata — no scan.
+        import pyarrow.dataset as pads
+        n_nodes = pads.dataset(
+            glob_.glob(os.path.join(nodes_dir, "*.parquet"))).count_rows()
+        if n_nodes <= BROADCAST_MAX_ROWS:
+            ntbl = pq.read_table(nodes_dir,
+                                 columns=["entity_id", "entity_type"])
+            type_ref = ray.put(dict(zip(
+                ntbl["entity_id"].to_pylist(),
+                ntbl["entity_type"].to_pylist())))
 
-        (hashagg.coalesced_join(merged, nodes_s, on=("subj",),
-                                join_type="left_outer")
-         .join(nodes_o, join_type="left_outer", num_partitions=8,
-               on=("obj",))
-         .map_batches(finish, batch_format="pandas")
-         .sort(["subj", "pred", "obj"])
+            def finish(df: pd.DataFrame) -> pd.DataFrame:
+                tmap = get_cached(type_ref)
+                df = df.copy()
+                df["subj_type"] = df["subj"].map(tmap).fillna("unknown")
+                df["obj_type"] = df["obj"].map(tmap).fillna("unknown")
+                df["passage_ids"] = df["passage_ids_str"].str.split("\x1f")
+                return df[["subj", "pred", "obj", "subj_type", "obj_type",
+                           "mention_count", "n_units", "passage_ids",
+                           "confidence"]]
+
+            typed = merged.map_batches(finish, batch_format="pandas")
+        else:
+            nodes_s = rd.read_parquet(
+                nodes_dir, columns=["entity_id", "entity_type"]).map_batches(
+                lambda df: df.rename(columns={"entity_id": "subj",
+                                              "entity_type": "subj_type"}),
+                batch_format="pandas")
+            nodes_o = rd.read_parquet(
+                nodes_dir, columns=["entity_id", "entity_type"]).map_batches(
+                lambda df: df.rename(columns={"entity_id": "obj",
+                                              "entity_type": "obj_type"}),
+                batch_format="pandas")
+
+            def finish(df: pd.DataFrame) -> pd.DataFrame:
+                df = df.copy()
+                df["subj_type"] = df["subj_type"].fillna("unknown")
+                df["obj_type"] = df["obj_type"].fillna("unknown")
+                df["passage_ids"] = df["passage_ids_str"].str.split("\x1f")
+                return df[["subj", "pred", "obj", "subj_type", "obj_type",
+                           "mention_count", "n_units", "passage_ids",
+                           "confidence"]]
+
+            typed = (hashagg.coalesced_join(merged, nodes_s, on=("subj",),
+                                            join_type="left_outer")
+                     .join(nodes_o, join_type="left_outer",
+                           num_partitions=8, on=("obj",))
+                     .map_batches(finish, batch_format="pandas"))
+
+        (typed.sort(["subj", "pred", "obj"])
          .map_batches(strip_meta, batch_format="pyarrow")
          .write_parquet(tmp))
 
