@@ -103,11 +103,33 @@ def prefix_rows_group(g: pd.DataFrame,
     return g[rank < lens][["doc_id", "shingle", "n"]]
 
 
+def _minhash_perm_params(perms: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (a, b) universal-hash params per permutation —
+    md5-derived, a forced odd so x → a·x+b (mod 2⁶⁴) is a bijection."""
+    a = np.array([_hash64("minhash-a", p) | 1 for p in range(perms)],
+                 dtype=np.uint64)
+    b = np.array([_hash64("minhash-b", p) for p in range(perms)],
+                 dtype=np.uint64)
+    return a, b
+
+
+_MINHASH_A, _MINHASH_B = _minhash_perm_params(MINHASH_PERMS)
+
+
 def minhash_signature(text: str, perms: int = MINHASH_PERMS) -> list[int]:
+    """Per-doc minhash: each shingle is md5-hashed ONCE to 64 bits, then
+    all ``perms`` permutations apply as one vectorized a·x+b (mod 2⁶⁴)
+    outer product + min-reduce — the per-(shingle, perm) md5 of the naive
+    version cost ~10k digests per document."""
     shingles = word_shingles(text)
     if not shingles:
         return [0] * perms
-    return [min(_hash64(sh, p) for sh in shingles) for p in range(perms)]
+    base = np.array([_hash64(sh) for sh in shingles], dtype=np.uint64)
+    a, b = (_MINHASH_A, _MINHASH_B) if perms == MINHASH_PERMS \
+        else _minhash_perm_params(perms)
+    with np.errstate(over="ignore"):
+        sig = (a[:, None] * base[None, :] + b[:, None]).min(axis=1)
+    return [int(x) for x in sig]
 
 
 def minhash_bands_batch(t: pa.Table) -> pd.DataFrame:
@@ -126,17 +148,21 @@ def minhash_bands_batch(t: pa.Table) -> pd.DataFrame:
                          "band_hash": pd.Series(band_hashes, dtype="int64")})
 
 
+_SIMHASH_SHIFTS = np.arange(SIMHASH_BITS, dtype=np.uint64)
+
+
 def simhash64(text: str) -> int:
-    votes = [0] * SIMHASH_BITS
-    for w in set(_norm_words(text)):
-        h = _hash64(w)
-        for b in range(SIMHASH_BITS):
-            votes[b] += 1 if (h >> b) & 1 else -1
-    out = 0
-    for b in range(SIMHASH_BITS):
-        if votes[b] > 0:
-            out |= 1 << b
-    return out
+    """64-bit simhash: one md5 per unique word, then a vectorized bit
+    unpack + majority vote (the naive version looped 64 Python iterations
+    per word)."""
+    words = set(_norm_words(text))
+    if not words:
+        return 0
+    h = np.array([_hash64(w) for w in words], dtype=np.uint64)
+    bits = (h[:, None] >> _SIMHASH_SHIFTS[None, :]) & np.uint64(1)
+    votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    out_bits = (votes > 0).astype(np.uint64)
+    return int((out_bits << _SIMHASH_SHIFTS).sum())
 
 
 def simhash_batch(t: pa.Table) -> pd.DataFrame:
@@ -152,6 +178,31 @@ def simhash_batch(t: pa.Table) -> pd.DataFrame:
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+def pairs_from_buckets(g: pd.DataFrame, keys: list[str],
+                       max_bucket: int = 200) -> pd.DataFrame:
+    """Vectorized :func:`pairs_from_bucket` over MANY buckets at once (one
+    hashagg bucket holds thousands of small LSH buckets — a Python loop per
+    LSH bucket dominated the stage): per-bucket doc_id rank caps oversized
+    buckets (same 200-smallest truncation, logged in aggregate), then ONE
+    self-merge on the bucket keys emits all within-bucket pairs."""
+    d = (g[keys + ["doc_id"]].drop_duplicates()
+         .sort_values(keys + ["doc_id"], kind="mergesort"))
+    rank = d.groupby(keys, sort=False).cumcount()
+    over = rank >= max_bucket
+    if bool(over.any()):
+        import logging
+        logging.getLogger(__name__).warning(
+            "LSH buckets truncated: %d docs dropped across %d oversized "
+            "buckets (max_bucket=%d) — near-dup recall is capped; consider "
+            "a secondary-hash bucket split",
+            int(over.sum()), int(d[over].groupby(keys).ngroups), max_bucket)
+        d = d[~over]
+    m = d.merge(d, on=keys, suffixes=("_x", "_y"))
+    m = m[m["doc_id_x"] < m["doc_id_y"]]
+    return (m.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})
+            [["doc_a", "doc_b"]].reset_index(drop=True))
 
 
 def pairs_from_bucket(g: pd.DataFrame, max_bucket: int = 200

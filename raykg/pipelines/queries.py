@@ -141,21 +141,28 @@ def q_kg_cooccurrence(sf_dir: str):
     p = kg_paths(sf_dir)
     ds = rd.read_parquet(p["mentions"],
                          columns=["unit_id", "lang", "entity_id"])
-    distinct = hashagg.distinct(
+
+    # ONE bucketed shuffle on unit_id: per-batch dedup combiner, then a
+    # per-bucket dedup + vectorized self-merge (all rows of a unit share a
+    # bucket, so the in-bucket merge is an exact self-join — no join-
+    # operator actor pools, no second shuffle before the pair count)
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        m = g.merge(g, on="unit_id", suffixes=("_x", "_y"))
+        m = m[m["entity_id_x"] < m["entity_id_y"]]
+        return m.rename(columns={"entity_id_x": "entity_a",
+                                 "entity_id_y": "entity_b"})[
+            ["entity_a", "entity_b"]]
+
+    pairs = hashagg.grouped_apply(
         ds.map_batches(
             lambda t: t.filter(pc.equal(t["lang"], "txt"))
                        .select(["unit_id", "entity_id"]),
             batch_format="pyarrow"),
-        ["unit_id", "entity_id"])
-    right = distinct.map_batches(
-        lambda df: df.rename(columns={"entity_id": "entity_b"}),
-        batch_format="pandas")
-    joined = distinct.join(right, join_type="inner", num_partitions=16,
-                           on=("unit_id",))
-    pairs = joined.map_batches(
-        lambda df: df[df["entity_id"] < df["entity_b"]].rename(
-            columns={"entity_id": "entity_a"})[["entity_a", "entity_b"]],
-        batch_format="pandas")
+        ["unit_id"], bucket_pairs, partial)
     return (hashagg.count_rows(pairs, ["entity_a", "entity_b"],
                                name="pair_count")
             .map_batches(lambda df: df[df["pair_count"] >= 2],
@@ -164,7 +171,17 @@ def q_kg_cooccurrence(sf_dir: str):
 
 # ------------------------------------------------------ style branch queries
 
-def _metrics_ds(sf_dir: str):
+_METRICS_CACHE: dict[str, "rd.Dataset"] = {}
+
+
+def _metrics_build(sf_dir: str):
+    """Lazy per-unit style-metrics plan (no execution).  Kept separate
+    from the cache fill so q_style_similarity can build every
+    ``read_parquet`` serially (Ray's path resolution lazily imports
+    fsspec.implementations.http on EVERY call — the import fails in this
+    env and failed imports are not cached, so two threads resolving paths
+    concurrently race on the half-initialized module) and then
+    materialize the plans concurrently."""
     from raykg.stages import fingerprint as fp
     p = kg_paths(sf_dir)
     ds = rd.read_parquet(p["units"],
@@ -174,6 +191,19 @@ def _metrics_ds(sf_dir: str):
     # per actor in StyleMetrics.__init__; autoscaling pool (1, 4)
     return ds.map_batches(fp.StyleMetrics, batch_format="pyarrow",
                           batch_size=2048, concurrency=(1, 4))
+
+
+def _metrics_ds(sf_dir: str):
+    """Per-unit style metrics, MATERIALIZED once per session — six style
+    queries (and q_style_similarity's four concurrent aggregates) consume
+    the same per-unit table, so recomputing the corpus pass + actor-pool
+    spin-up per query is pure waste.  The materialized blocks live in the
+    (spillable) object store; a corpus-scale run would swap this for a
+    parquet stage checkpoint exactly like build_kg's stages."""
+    key = kg_paths(sf_dir)["units"]
+    if key not in _METRICS_CACHE:
+        _METRICS_CACHE[key] = _metrics_build(sf_dir).materialize()
+    return _METRICS_CACHE[key]
 
 
 def q_style_unit_metrics(sf_dir: str):
@@ -213,9 +243,12 @@ def q_style_vocab(sf_dir: str):
             .map_groups(fp.vocab_profile_group, batch_format="pandas"))
 
 
-def _word_counts_ds(sf_dir: str):
-    """Merged (repo, word, cnt, cap_cnt) — the A8 building block, shared
-    by the function-word / word-length / unknown-word / z-score queries."""
+_WORD_COUNTS_CACHE: dict[str, "rd.Dataset"] = {}
+
+
+def _word_counts_build(sf_dir: str):
+    """Lazy (repo, word, cnt, cap_cnt) plan — see _metrics_build for the
+    serial-build / concurrent-materialize split rationale."""
     from raykg.functions import hashagg
     from raykg.stages import fingerprint as fp
     p = kg_paths(sf_dir)
@@ -230,6 +263,17 @@ def _word_counts_ds(sf_dir: str):
                      cap_cnt=pl.col("cap_cnt").sum()).to_pandas())
 
     return hashagg.grouped_apply(partial, ["repo", "word"], final)
+
+
+def _word_counts_ds(sf_dir: str):
+    """Merged (repo, word, cnt, cap_cnt) — the A8 building block, shared
+    by the function-word / word-length / unknown-word / z-score queries.
+    Materialized once per session (vocabulary-sized — repo × distinct
+    word) so the five consumers don't each re-tokenize the corpus."""
+    key = kg_paths(sf_dir)["units"]
+    if key not in _WORD_COUNTS_CACHE:
+        _WORD_COUNTS_CACHE[key] = _word_counts_build(sf_dir).materialize()
+    return _WORD_COUNTS_CACHE[key]
 
 
 def q_style_function_words(sf_dir: str):
@@ -331,17 +375,39 @@ def q_style_similarity(sf_dir: str):
     O(repos²) pairwise step runs on the driver (repo count is small)."""
     import numpy as np
     from concurrent.futures import ThreadPoolExecutor
-    # four independent full-corpus aggregates — build the lazy Datasets
-    # serially (read_parquet metadata/filesystem resolution is not
-    # thread-safe: concurrent first-touch races fsspec lazy imports), then
-    # materialize concurrently (sequential .to_pandas() calls would
-    # serialize four corpus passes)
+    # three independent corpus passes feed the four aggregates: the
+    # per-unit metrics cache, the word-counts cache, and the unit-type
+    # classify.  BUILD every plan serially (read_parquet path resolution
+    # is not thread-safe here — see _metrics_build), then materialize the
+    # corpus passes concurrently so they don't stack.
+    mkey = kg_paths(sf_dir)["units"]
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        fm = fw = None
+        if mkey not in _METRICS_CACHE:
+            # plan built serially (lazy, fast); EXECUTION overlaps the
+            # serial builds below — executing a dataset from a second
+            # thread is safe, only plan building is not
+            mplan = _metrics_build(sf_dir)
+            fm = ex.submit(lambda: _METRICS_CACHE.__setitem__(
+                mkey, mplan.materialize()))
+        if mkey not in _WORD_COUNTS_CACHE:
+            # grouped_apply materializes its shuffle input at build time,
+            # so this build already overlaps fm
+            wplan = _word_counts_build(sf_dir)
+            fw = ex.submit(lambda: _WORD_COUNTS_CACHE.__setitem__(
+                mkey, wplan.materialize()))
+        tplan = q_style_type_distribution(sf_dir)
+        ft = ex.submit(tplan.to_pandas)
+        for f in (fm, fw):
+            if f is not None:
+                f.result()
+        tdist = ft.result()
+    # remaining aggregates are cache-fed and cheap; still overlap them
     plans = [f(sf_dir) for f in (q_style_zscores, q_style_distribution,
-                                 q_style_readability,
-                                 q_style_type_distribution)]
-    with ThreadPoolExecutor(max_workers=4) as ex:
-        z, dist, read, tdist = [f.result() for f in
-                                [ex.submit(p.to_pandas) for p in plans]]
+                                 q_style_readability)]
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        z, dist, read = [f.result() for f in
+                         [ex.submit(pl.to_pandas) for pl in plans]]
 
     zmat = z.pivot_table(index="word", columns="repo", values="zscore")
     mean_len = dist.set_index("repo")["mean"]
@@ -521,14 +587,21 @@ def q_dedup_exact(sf_dir: str):
 
 
 def _verify_pairs_by_join(pairs, docs):
-    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs by
-    joining the texts back (candidates ≪ corpus) — never a whole-corpus
-    broadcast.  Shared by the jaccard and minhash near-dup paths."""
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs —
+    SIZE-GATED, never a whole-corpus broadcast.  Shared by the jaccard and
+    minhash near-dup paths.
+
+    Small candidate sets (the common case — LSH/prefix filtering prunes
+    hard): semi-join, i.e. broadcast the candidate doc-id SET, filter the
+    corpus to only candidate docs (distributed scan), and broadcast just
+    those texts to the verify map — two map-only passes, zero shuffle.
+    Large candidate sets: two bucketed hash joins of texts onto pairs."""
+    from raykg.functions import hashagg as _ha
     from raykg.ops import dedup as dd
-    ta = docs.map_batches(lambda df: df.rename(
-        columns={"doc_id": "doc_a", "text": "text_a"}), batch_format="pandas")
-    tb = docs.map_batches(lambda df: df.rename(
-        columns={"doc_id": "doc_b", "text": "text_b"}), batch_format="pandas")
+    from raykg.pipelines.kg import BROADCAST_MAX_ROWS
+
+    pairs = pairs.materialize()
+    n_pairs = pairs.count()
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         j = [round(dd.jaccard_of_texts(a, b), 6)
@@ -536,7 +609,40 @@ def _verify_pairs_by_join(pairs, docs):
         out = df.assign(jaccard=j)[["doc_a", "doc_b", "jaccard"]]
         return out[out["jaccard"] >= dd.JACCARD_THRESHOLD]
 
-    from raykg.functions import hashagg as _ha
+    # gate on the BROADCAST PAYLOAD (candidate texts ≈ 2·pairs docs), far
+    # below the generic row gate — text payloads are ~1 KB/doc, not 100 B
+    if n_pairs <= min(50_000, BROADCAST_MAX_ROWS // 4):
+        import numpy as np
+        import ray as _ray
+        from raykg.functions.broadcast import get_cached
+        id_tbl = (pairs.select_columns(["doc_a", "doc_b"]).to_pandas()
+                  .drop_duplicates().reset_index(drop=True))
+        ids_ref = _ray.put(np.unique(
+            np.concatenate([id_tbl["doc_a"].to_numpy(),
+                            id_tbl["doc_b"].to_numpy()])))
+
+        def pick(df: pd.DataFrame) -> pd.DataFrame:
+            return df[df["doc_id"].isin(get_cached(ids_ref))][
+                ["doc_id", "text"]]
+
+        # bounded: ≤ 2·n_pairs candidate docs survive the distributed filter
+        cand = docs.map_batches(pick, batch_format="pandas").to_pandas()
+        texts_ref = _ray.put(dict(zip(cand["doc_id"], cand["text"])))
+
+        def verify_bcast(df: pd.DataFrame) -> pd.DataFrame:
+            texts = get_cached(texts_ref)
+            df = df.assign(text_a=df["doc_a"].map(texts),
+                           text_b=df["doc_b"].map(texts))
+            return verify(df)
+
+        return rd.from_pandas(id_tbl).map_batches(verify_bcast,
+                                                  batch_format="pandas")
+
+    pairs = _ha.distinct(pairs, ["doc_a", "doc_b"], coalesce=8)
+    ta = docs.map_batches(lambda df: df.rename(
+        columns={"doc_id": "doc_a", "text": "text_a"}), batch_format="pandas")
+    tb = docs.map_batches(lambda df: df.rename(
+        columns={"doc_id": "doc_b", "text": "text_b"}), batch_format="pandas")
     return (_ha.coalesced_join(pairs, ta, on=("doc_a",))
             .join(tb, join_type="inner", num_partitions=8, on=("doc_b",))
             .map_batches(verify, batch_format="pandas")
@@ -600,20 +706,15 @@ def q_dedup_minhash_pairs(sf_dir: str):
     from raykg.ops import dedup as dd
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # per LSH bucket inside one hash bucket (pandas-level group loop)
-        outs = [dd.pairs_from_bucket(grp) for _, grp in
-                g.groupby(["band_id", "band_hash"], sort=False)]
-        if not outs:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64")})
-        return pd.concat(outs, ignore_index=True)
+        # vectorized across ALL LSH buckets in this hash bucket
+        return dd.pairs_from_buckets(g, ["band_id", "band_hash"])
 
     bands = _docs_ds(sf_dir).map_batches(dd.minhash_bands_batch,
                                          batch_format="pyarrow")
+    # pairs may repeat across bands — _verify_pairs_by_join dedupes
     pairs = hashagg.grouped_apply(bands, ["band_id", "band_hash"],
                                   bucket_pairs)
-    return _verify_pairs_by_join(hashagg.distinct(pairs, ["doc_a", "doc_b"]),
-                                 _docs_ds(sf_dir))
+    return _verify_pairs_by_join(pairs, _docs_ds(sf_dir))
 
 
 def q_simhash(sf_dir: str):
