@@ -277,7 +277,11 @@ def cogroup_apply(sources, keys: Sequence[str],
                 if c in own_cols:
                     out[c] = df[c].astype(dt)
                 else:
-                    out[c] = pd.Series(pd.NA, index=df.index, dtype=dt)
+                    # pd.NA can't live in numpy int/bool dtypes — pad
+                    # missing columns with the nullable-extension twin
+                    ndt = {"int64": "Int64", "int32": "Int32",
+                           "bool": "boolean", "float64": "Float64"}.get(dt, dt)
+                    out[c] = pd.Series(pd.NA, index=df.index, dtype=ndt)
             out["__src"] = src_idx
             if len(out) == 0:
                 out["__bucket"] = pd.Series([], dtype="int64")

@@ -76,7 +76,11 @@ def extract_units_fn(batch: pa.Table) -> pa.Table:
 
 
 def extract_code_fn(batch: pa.Table) -> pa.Table:
-    return _singleton("code_extractor", extract.CodeExtractor)(batch)
+    # per-language dispatch via the §2.9 registry (raykg.stages.registry):
+    # 'py' routes to CodeExtractor; user-registered languages route to
+    # their own extractor; unregistered ones are skipped with a warning
+    from raykg.stages import registry
+    return _singleton("code_extractor", registry.DispatchCodeExtractor)(batch)
 
 
 def _ncpu() -> int:
@@ -264,8 +268,9 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
                 batch_size=batch_size, zero_copy_batch=True,
                 concurrency=conc,
                 fn_constructor_kwargs={"llm_backend": llm_backend})
+            from raykg.stages import registry
             code = read_corpus().map_batches(
-                extract.CodeExtractor, batch_format="pyarrow",
+                registry.DispatchCodeExtractor, batch_format="pyarrow",
                 batch_size=64, concurrency=conc)
         else:
             prose = units.map_batches(

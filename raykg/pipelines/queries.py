@@ -862,6 +862,14 @@ def q_kg_suggestions(sf_dir: str):
     return hashagg.grouped_apply(ds, ["surface"], final, partial)
 
 
+def q_kg_seeds(sf_dir: str):
+    """§2.9 seeds re-export (extract/resolver.py:310-344, cli.py:652-675):
+    per canonical entity, attributes + sorted distinct alias surfaces —
+    the table behind ``raykg.ops.seeds.export_seeds``."""
+    from raykg.ops import seeds
+    return seeds.seeds_dataset(kg_paths(sf_dir))
+
+
 def q_kg_units_with_rels(sf_dir: str):
     """S8/J5 semi-join: only units that produced prose relationships
     (graph/writer.py:350-362)."""
@@ -2377,6 +2385,17 @@ nodes AS (
                 "mention_count, n_units FROM nodes "
                 "ORDER BY mention_count DESC, entity_id ASC LIMIT 20")
 
+    if name == "kg_seeds":
+        return (f"WITH {U},{M},{R},{nodes_sql}, "
+                "alias_set AS (SELECT DISTINCT entity_id, mention_text "
+                "              FROM resolved) "
+                "SELECT n.entity_id, n.canonical_name, n.entity_type, "
+                "       n.mention_count, count(*) AS n_aliases, "
+                "       string_agg(a.mention_text, '|' "
+                "                  ORDER BY a.mention_text) AS aliases_str "
+                "FROM nodes n JOIN alias_set a USING (entity_id) "
+                "GROUP BY 1, 2, 3, 4")
+
     if name == "kg_mention_edges":
         return (f"WITH {U},{M},{R} "
                 "SELECT entity_id, unit_id, CAST(sum(n_occurrences) AS BIGINT) AS mention_count "
@@ -3546,6 +3565,7 @@ QUERY_FNS = {
     "kg_type_stats": q_kg_type_stats,
     "kg_top_by_type": q_kg_top_by_type,
     "kg_suggestions": q_kg_suggestions,
+    "kg_seeds": q_kg_seeds,
     "kg_units_with_rels": q_kg_units_with_rels,
     "kg_interactions": q_kg_interactions,
     "kg_merge_candidates": q_kg_merge_candidates,

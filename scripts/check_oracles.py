@@ -16,12 +16,13 @@ def normalize(df):
     import pandas as pd
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-        elif str(df[c].dtype).startswith("float"):
-            df[c] = df[c].round(9)
-        elif str(df[c].dtype).startswith(("int", "uint")):
+        dt = str(df[c].dtype)
+        if dt.startswith(("float", "Float")):
+            df[c] = df[c].astype("float64").round(9)
+        elif dt.startswith(("int", "uint", "Int", "UInt")):
             df[c] = df[c].astype("int64")
+        else:
+            df[c] = df[c].astype(str)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
