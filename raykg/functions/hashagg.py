@@ -61,10 +61,18 @@ def _bucket_expr(d, keys: list[str], num_buckets: int):
     return (d.select(keys).hash_rows() % num_buckets).cast(pl.Int64)
 
 
-def _finish(mapped: rd.Dataset, per_bucket, coalesce: int | None
-            ) -> rd.Dataset:
-    out = (mapped.materialize()           # barrier: see module docstring §3
-           .groupby("__bucket")
+def _finish(mapped: rd.Dataset, per_bucket, coalesce: int | None,
+            num_buckets: int = DEFAULT_BUCKETS) -> rd.Dataset:
+    mat = mapped.materialize()            # barrier: see module docstring §3
+    # groupby's sample-sort creates one partition PER INPUT BLOCK: when the
+    # combiner ran over hundreds of read tasks, the partials arrive as
+    # hundreds of sub-MB blocks and the sort degenerates into an
+    # O(blocks^2) exchange of tiny objects (measured 14 s for 811k rows /
+    # 277 MB at 400 blocks vs ~2 s at 64).  Coalesce partials to ~1 block
+    # per bucket first — a cheap linear pass over the (combined) partials.
+    if mat.num_blocks() > num_buckets * 2:
+        mat = mat.repartition(num_buckets)
+    out = (mat.groupby("__bucket")
            .map_groups(per_bucket, batch_format="pandas"))
     if coalesce is not None:
         out = out.repartition(coalesce)
@@ -108,7 +116,7 @@ def grouped_apply(ds: rd.Dataset, keys: Sequence[str],
         return final_fn(g.drop(columns="__bucket"))
 
     return _finish(ds.map_batches(add_bucket, batch_format="pandas"),
-                   per_bucket, coalesce)
+                   per_bucket, coalesce, num_buckets)
 
 
 def _pl_two_phase(ds: rd.Dataset, keys: list[str], agg_exprs_partial,
@@ -128,7 +136,7 @@ def _pl_two_phase(ds: rd.Dataset, keys: list[str], agg_exprs_partial,
                 .sort(keys).to_pandas())
 
     return _finish(ds.map_batches(partial, batch_format="pyarrow"),
-                   final, coalesce)
+                   final, coalesce, num_buckets)
 
 
 def count_rows(ds: rd.Dataset, keys: Sequence[str], name: str = "count",
@@ -170,7 +178,7 @@ def distinct(ds: rd.Dataset, keys: Sequence[str],
                 .unique().sort(keys).to_pandas())
 
     return _finish(ds.map_batches(partial, batch_format="pyarrow"),
-                   final, coalesce)
+                   final, coalesce, num_buckets)
 
 
 def sum_col_contiguous(ds: rd.Dataset, keys: Sequence[str], col: str,
@@ -304,7 +312,7 @@ def cogroup_apply(sources, keys: Sequence[str],
             frames.append(g[g["__src"] == i][list(cols)])
         return final_fn(frames)
 
-    return _finish(mapped, per_bucket, coalesce)
+    return _finish(mapped, per_bucket, coalesce, num_buckets)
 
 
 def coalesced_join(left: rd.Dataset, right: rd.Dataset, on,

@@ -62,6 +62,15 @@ TYPE_PRIORITY = ("character", "place", "object", "module", "function",
 BROADCAST_MAX_ROWS = int(os.environ.get("RAYKG_BROADCAST_MAX_ROWS",
                                         2_000_000))
 
+# Floor on rows per written parquet file for the big intermediate tables.
+# Wide compute stages (64+ blocks) otherwise write one sub-MB file per
+# block, and every DOWNSTREAM read then pays per-file task overhead plus a
+# degenerate many-partition shuffle (measured: the 8x64-block units write
+# produced 512 files and slowed extract+mentions by ~5 s at sf4).  Still
+# many files per stage — resumable, partitioned output, never one giant
+# file.
+WRITE_MIN_ROWS = 64_000
+
 _WORKER_STATE: dict[str, object] = {}
 
 
@@ -245,9 +254,18 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
 
     def write_units_partition(pid: str, tmp: str):
         files = file_groups[int(pid)]
-        ds = rd.read_parquet(files,
-                             override_num_blocks=max(2, n_blocks // n_parts))
-        split.units_dataset(ds).write_parquet(tmp)
+        # partitions execute SEQUENTIALLY (per-partition resume markers),
+        # so each one must fan out to the FULL cpu budget — n_blocks/n_parts
+        # blocks would leave (n_parts-1)/n_parts of the cluster idle
+        # (measured: units scaled 2.97x instead of ~4x from 8->32 cpus).
+        # row_group_size=256 in the corpus files lets the read split far
+        # below file granularity.
+        ds = rd.read_parquet(files, override_num_blocks=max(2, n_blocks))
+        # repartition before the sink: compute stays n_blocks-wide, the
+        # write emits ~8 well-sized files per partition (NOT
+        # min_rows_per_file, which serialized this write: 15 s -> 157 s)
+        (split.units_dataset(ds).repartition(8)
+         .write_parquet(tmp))
         return {"n_input_files": len(files)}
 
     units_dir = lineage.run_partitioned_stage(
@@ -283,7 +301,8 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
         # twice.  Hive-partition by kind so each downstream stage scans ONLY
         # its slice (mention/rel/alias_pair/event) instead of filtering a
         # full-table read.
-        prose.union(code).write_parquet(tmp, partition_cols=["kind"])
+        prose.union(code).write_parquet(tmp, partition_cols=["kind"],
+                                        min_rows_per_file=WRITE_MIN_ROWS)
 
     extract_dir = lineage.run_stage(out_root, "extract", write_extract, force)
 
@@ -336,7 +355,7 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
          .map_batches(resolve_mentions_fn, batch_format="pandas",
                       batch_size=4096)
          .map_batches(strip_meta, batch_format="pyarrow")
-         .write_parquet(tmp))
+         .write_parquet(tmp, min_rows_per_file=WRITE_MIN_ROWS))
 
     mentions_dir = lineage.run_stage(out_root, "mentions", write_mentions,
                                      force)
@@ -353,7 +372,7 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
             ["entity_id", "unit_id"], "n_occurrences",
             contig_key="unit_id", name="mention_count")
          .map_batches(strip_meta, batch_format="pyarrow")
-         .write_parquet(tmp))
+         .write_parquet(tmp, min_rows_per_file=WRITE_MIN_ROWS))
 
     mention_edges_dir = lineage.run_stage(out_root, "mention_edges",
                                           write_mention_edges, force)
@@ -467,9 +486,15 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
         partials = (read_extract_kind(extract_dir, extract.KIND_REL)
                     .map_batches(resolve_triples_fn, batch_format="pandas",
                                  batch_size=8192))
+        # coalesce merges map_groups' zero-column empty blocks away (join
+        # schema safety) — but its count also caps downstream parallelism
+        # (typing map + final sort run one task per block), so size it to
+        # the cpu budget, not a constant 8 (measured: the final sort ran
+        # 8-wide on 32 cpus).
         merged = hashagg.grouped_apply(partials,
                                        ["subj_id", "pred", "obj_id"],
-                                       triples_bucket, coalesce=8)
+                                       triples_bucket,
+                                       coalesce=max(8, _ncpu()))
 
         # entity typing against the nodes table — SIZE-GATED strategy:
         # prose entity vocabularies are bounded (thousands), but
@@ -522,9 +547,10 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
                            "confidence"]]
 
             typed = (hashagg.coalesced_join(merged, nodes_s, on=("subj",),
-                                            join_type="left_outer")
+                                            join_type="left_outer",
+                                            num_partitions=max(8, _ncpu()))
                      .join(nodes_o, join_type="left_outer",
-                           num_partitions=8, on=("obj",))
+                           num_partitions=max(8, _ncpu()), on=("obj",))
                      .map_batches(finish, batch_format="pandas"))
 
         (typed.sort(["subj", "pred", "obj"])
