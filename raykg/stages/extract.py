@@ -200,7 +200,10 @@ class UnitExtractor:
             if key not in rels:
                 rels[key] = (s, pred, o, REL_CONF, "pattern",
                              m.start(), m.end())
-        if self.rel_tier is not None:
+        # F2 min-entity gate (relationships.py:147,417-418): the LLM tier
+        # only sees passages with >= 2 distinct entities; the pattern SVO
+        # regex enforces the same arity structurally (two cap groups).
+        if self.rel_tier is not None and len({k[0] for k in occ}) >= 2:
             ectx = ", ".join(sorted({k[0] for k in occ}))
             for s, p, o, conf in self.rel_tier.extract(text, ectx):
                 key = (s.lower(), p, o.lower())

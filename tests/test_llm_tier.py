@@ -215,6 +215,28 @@ def test_unit_extractor_llm_rel_and_event_rows():
     assert evs[0]["era"] == "third" and evs[0]["year"] == 12
 
 
+def test_unit_extractor_min_entity_gate_skips_llm_rels():
+    """F2 (relationships.py:147,417-418): the LLM relationship tier only
+    sees passages with >= 2 distinct entities — a 1-entity unit must not
+    produce LLM rel rows even when the backend would return some."""
+    from raykg.stages import extract as ex
+    text = "Arwen walked quietly."          # single entity, no SVO match
+    stub = llm.StubBackend({
+        "Extract relationships":
+            '[{"subject": "Arwen", "predicate": "walked to",'
+            ' "object": "Rivendell"}]'})
+    out = ex.UnitExtractor(llm_backend=stub)(_unit_batch([text]))
+    rows = out.to_pylist()
+    assert any(r["kind"] == ex.KIND_MENTION and r["subj"] == "Arwen"
+               for r in rows)
+    assert not any(r["kind"] == ex.KIND_REL for r in rows)
+    # two entities -> gate opens, the same stub payload lands
+    text2 = "Arwen walked quietly past Elrond's gate."
+    out2 = ex.UnitExtractor(llm_backend=stub)(_unit_batch([text2]))
+    assert any(r["kind"] == ex.KIND_REL and r["method"] == "llm"
+               for r in out2.to_pylist())
+
+
 def test_unit_extractor_default_path_unchanged():
     """llm_backend=None must stay byte-identical to the pattern-only path
     (every oracle depends on it)."""
