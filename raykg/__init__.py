@@ -28,3 +28,35 @@ class _SpuriousSchemaHashFilter(logging.Filter):
 logging.getLogger(
     "ray.data._internal.arrow_ops.transform_pyarrow"
 ).addFilter(_SpuriousSchemaHashFilter())
+
+
+def _pin_fsspec_http_stub() -> None:
+    """Make ``fsspec.implementations.http`` importable deterministically.
+
+    When aiohttp is absent, that module RAISES on import.  Ray Data probes
+    it on every read/write (``path_util._is_http_filesystem``) and catches
+    the failure — but failed imports are never cached, so CONCURRENT Ray
+    Data executions (driver threads, e.g. the units stage's parallel
+    partitions) re-run the failing module body in parallel and CPython's
+    import machinery surfaces a raw ``ImportError: cannot import name
+    'HTTPFileSystem'`` in one of the threads.  Caching a minimal stub in
+    ``sys.modules`` (only when the real import fails, i.e. only in
+    network-less environments) makes the probe thread-safe; the class is
+    used solely in ``isinstance`` checks, never instantiated.
+    """
+    import sys
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ImportError:
+        import types
+
+        class HTTPFileSystem:  # pragma: no cover - isinstance target only
+            def __init__(self, *a, **k):
+                raise ModuleNotFoundError("aiohttp is not installed")
+
+        mod = types.ModuleType("fsspec.implementations.http")
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
+
+
+_pin_fsspec_http_stub()

@@ -254,12 +254,11 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
 
     def write_units_partition(pid: str, tmp: str):
         files = file_groups[int(pid)]
-        # partitions execute SEQUENTIALLY (per-partition resume markers),
-        # so each one must fan out to the FULL cpu budget — n_blocks/n_parts
-        # blocks would leave (n_parts-1)/n_parts of the cluster idle
-        # (measured: units scaled 2.97x instead of ~4x from 8->32 cpus).
-        # row_group_size=256 in the corpus files lets the read split far
-        # below file granularity.
+        # each partition still fans out to the FULL cpu budget — the
+        # CONCURRENT executions (max_workers below) interleave on the
+        # shared task pool, so any one of them can soak idle CPUs when the
+        # others stall on I/O.  row_group_size=256 in the corpus files
+        # lets the read split far below file granularity.
         ds = rd.read_parquet(files, override_num_blocks=max(2, n_blocks))
         # repartition before the sink: compute stays n_blocks-wide, the
         # write emits ~8 well-sized files per partition (NOT
@@ -268,9 +267,12 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
          .write_parquet(tmp))
         return {"n_input_files": len(files)}
 
+    # concurrent executions overlap the ~0.9 s/execution scheduling floor
+    # (8 sequential executions paid ~7 s of pure floor at sf0.01) while
+    # keeping per-partition resume markers
     units_dir = lineage.run_partitioned_stage(
         out_root, "units", [str(i) for i in range(n_parts)],
-        write_units_partition, force)
+        write_units_partition, force, max_workers=n_parts)
 
     # ---- stage: extract (prose units + code files, one pass each) ----
     def write_extract(tmp: str):

@@ -112,7 +112,8 @@ def partition_done(out_root: str, name: str, pid: str) -> bool:
 
 def run_partitioned_stage(out_root: str, name: str, partition_ids,
                           write_partition: Callable[[str, str], dict | None],
-                          force: bool = False) -> str:
+                          force: bool = False,
+                          max_workers: int = 1) -> str:
     """Stage execution with PER-PARTITION completion markers (north rule:
     "checkpoints partition state so the job resumes mid-pipeline").
 
@@ -123,7 +124,15 @@ def run_partitioned_stage(out_root: str, name: str, partition_ids,
     partitions whose markers exist and computes only the rest.  When every
     partition is complete the parts tree is renamed to the final stage dir
     and the stage-level manifest is written (aggregating the per-partition
-    lineage records)."""
+    lineage records).
+
+    ``max_workers > 1`` runs partitions as CONCURRENT Ray Data executions
+    (driver threads): each execution still commits its own marker, so
+    resume granularity is unchanged, but the per-execution scheduling
+    floor (~0.9 s each, measured at sf0.01) overlaps instead of summing —
+    8 sequential executions cost ~7 s of pure floor.  On a real cluster
+    this is the moral equivalent of submitting independent partition jobs
+    that share the cluster."""
     final_dir = os.path.join(out_root, name)
     if stage_done(out_root, name) and not force:
         return final_dir
@@ -140,14 +149,12 @@ def run_partitioned_stage(out_root: str, name: str, partition_ids,
     os.makedirs(parts_root, exist_ok=True)
     os.makedirs(mdir, exist_ok=True)
 
-    part_infos = []
-    for pid in partition_ids:
+    def run_one(pid: str) -> dict:
         pdir = os.path.join(parts_root, f"part-{pid}")
         pmarker = os.path.join(mdir, f"part-{pid}.json")
         if os.path.exists(pmarker) and os.path.isdir(pdir):
             with open(pmarker) as fh:
-                part_infos.append(json.load(fh))
-            continue
+                return json.load(fh)
         tmp = pdir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(pdir, ignore_errors=True)
@@ -165,11 +172,20 @@ def run_partitioned_stage(out_root: str, name: str, partition_ids,
         with open(pmarker + ".tmp", "w") as fh:
             json.dump(rec, fh)
         os.replace(pmarker + ".tmp", pmarker)
-        part_infos.append(rec)
+        return rec
+
+    t_stage = time.time()
+    if max_workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=max_workers) as ex:
+            part_infos = list(ex.map(run_one, partition_ids))
+    else:
+        part_infos = [run_one(pid) for pid in partition_ids]
 
     os.rename(parts_root, final_dir)
+    # elapsed, not sum(per-partition walls) — concurrent partitions overlap
     manifest = {"stage": name,
-                "wall_sec": round(sum(p["wall_sec"] for p in part_infos), 3),
+                "wall_sec": round(time.time() - t_stage, 3),
                 "total_rows": sum(p["rows"] for p in part_infos),
                 "partitions": part_infos,
                 "partitioned": True}
