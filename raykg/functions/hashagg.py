@@ -236,6 +236,79 @@ def sum_col_contiguous(ds: rd.Dataset, keys: Sequence[str], col: str,
     return interior.union(sum_col(boundary, keys, name, name=name))
 
 
+def range_grouped_apply(ds: rd.Dataset, keys: Sequence[str],
+                        final_fn: Callable[[pd.DataFrame], pd.DataFrame],
+                        partial_fn: Callable[[pd.DataFrame], pd.DataFrame]
+                        | None = None,
+                        num_buckets: int = DEFAULT_BUCKETS,
+                        sample_per_block: int = 32) -> rd.Dataset:
+    """``grouped_apply`` whose buckets are contiguous RANGES of ``keys[0]``
+    instead of hash slots, so the output stream is globally sorted by
+    ``keys[0]`` (and by ``keys`` when ``final_fn`` returns its bucket
+    sorted by keys) WITHOUT a second full-payload sort exchange.
+
+    Motivation: the triples stage previously ran the bucketed merge and
+    then a global ``Dataset.sort`` over the merged table — two all-to-all
+    passes over the largest output table (the sort alone was ~half the
+    stage wall at sf8).  Range-bucketing folds the ordering into the one
+    shuffle the aggregation already pays: ``groupby("__bucket")``'s
+    sort-by-bucket places blocks in ascending bucket order, and range
+    buckets make that order the key order.
+
+    Boundaries are sampled from the MATERIALIZED partials (every
+    len/``sample_per_block``-th row per block → O(blocks × 32) driver rows,
+    bounded); sampling only affects bucket balance, never grouping or
+    order, so nondeterministic block order is harmless — the same
+    guarantee Ray's own sample-sort gives.  All rows of one key[0] value
+    land in one bucket (boundaries are key values; ``side='right'``), so
+    per-key aggregation stays exact.  Extreme skew note: a hot key[0]
+    collapses sample quantiles and its bucket degenerates toward one big
+    range, but the per-batch combiner already bounded rows-per-key to
+    O(#input blocks)."""
+    import numpy as np
+    keys = list(keys)
+    range_key = keys[0]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if partial_fn is not None:
+            df = partial_fn(df)
+        return df.reset_index(drop=True)
+
+    mat = ds.map_batches(partial, batch_format="pandas").materialize()
+
+    def sample(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"__k": pd.Series([], dtype="object")})
+        step = max(1, len(df) // sample_per_block)
+        return pd.DataFrame({"__k": df[range_key].iloc[::step]})
+
+    samp = sorted(r["__k"] for r in
+                  mat.map_batches(sample, batch_format="pandas").take_all())
+    if samp:
+        qs = np.linspace(0, len(samp) - 1, num_buckets + 1)[1:-1]
+        bounds = np.asarray(sorted({samp[int(q)] for q in qs}), dtype=str)
+    else:
+        bounds = np.asarray([], dtype=str)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__bucket"] = pd.Series([], dtype="int64")
+            return df
+        # numpy '<U' arrays: C-level string compare in the binary search
+        k = df[range_key].to_numpy(dtype=str)
+        df["__bucket"] = np.searchsorted(bounds, k,
+                                         side="right").astype("int64")
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return final_fn(g.drop(columns="__bucket"))
+
+    return (mat.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket").map_groups(per_bucket,
+                                            batch_format="pandas"))
+
+
 def first_by(ds: rd.Dataset, keys: Sequence[str], order_by: Sequence[str],
              num_buckets: int = DEFAULT_BUCKETS) -> rd.Dataset:
     """groupby(keys).first() with deterministic in-group order (R6 exact

@@ -150,3 +150,34 @@ def test_sum_col_contiguous_boundary_repair(ray_session):
         .sort_values(["entity_id", "unit_id"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(out, expect)
     assert len(out) == out[["entity_id", "unit_id"]].drop_duplicates().shape[0]
+
+
+def test_range_grouped_apply_sorted_and_exact(ray_session):
+    """range_grouped_apply must (a) aggregate exactly per key like
+    grouped_apply, and (b) emit a globally key-sorted stream when the
+    bucket fn sorts, with keys split across blocks and duplicate keys."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from raykg.functions import hashagg
+
+    rng = np.random.default_rng(7)
+    n = 5_000
+    ks = np.char.add("k", rng.integers(0, 400, n).astype(str))
+    df = pd.DataFrame({"k": ks, "v": rng.integers(1, 5, n)})
+    ds = rd.from_pandas(df).repartition(13)
+
+    def bucket_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("k", as_index=False)["v"].sum()
+                .sort_values("k").reset_index(drop=True))
+
+    out = hashagg.range_grouped_apply(ds, ["k"], bucket_sum,
+                                      num_buckets=8).to_pandas()
+    out = out[out["k"].notna()].reset_index(drop=True)
+    expect = (df.groupby("k", as_index=False)["v"].sum()
+              .sort_values("k").reset_index(drop=True))
+    # exactness: same rows regardless of order
+    pd.testing.assert_frame_equal(
+        out.sort_values("k").reset_index(drop=True), expect)
+    # global order: the emitted stream is already sorted by key
+    assert list(out["k"]) == sorted(out["k"])
