@@ -247,13 +247,21 @@ def range_grouped_apply(ds: rd.Dataset, keys: Sequence[str],
     ``keys[0]`` (and by ``keys`` when ``final_fn`` returns its bucket
     sorted by keys) WITHOUT a second full-payload sort exchange.
 
-    Motivation: the triples stage previously ran the bucketed merge and
-    then a global ``Dataset.sort`` over the merged table — two all-to-all
-    passes over the largest output table (the sort alone was ~half the
-    stage wall at sf8).  Range-bucketing folds the ordering into the one
-    shuffle the aggregation already pays: ``groupby("__bucket")``'s
-    sort-by-bucket places blocks in ascending bucket order, and range
-    buckets make that order the key order.
+    Range-bucketing folds the ordering into the one shuffle the
+    aggregation already pays: ``groupby("__bucket")``'s sort-by-bucket
+    places blocks in ascending bucket order, and range buckets make that
+    order the key order.
+
+    WHEN TO USE (measured): only when the aggregated OUTPUT is itself
+    corpus-scaled, so that a separate ``Dataset.sort`` of the result would
+    be a second LARGE all-to-all.  For the triples stage the merged table
+    is sub-linear (103 MB at sf4) and sorting it is cheap — isolated A/B
+    at 32 CPUs measured hash-bucket-merge + small-sort at 8.25 s (sf4) /
+    12.5 s (sf8) vs this range path at 10.6 s / 13.9 s: the extra
+    boundary-sample pass and the unfused ``add_bucket`` pass cost more
+    than the small sort they replace.  The triples stage therefore keeps
+    the hash path; this primitive is for future corpus-scaled sorted
+    outputs.
 
     Boundaries are sampled from the MATERIALIZED partials (every
     len/``sample_per_block``-th row per block → O(blocks × 32) driver rows,
@@ -304,6 +312,14 @@ def range_grouped_apply(ds: rd.Dataset, keys: Sequence[str],
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return final_fn(g.drop(columns="__bucket"))
 
+    # coalesce partials to ~1 block per bucket BEFORE the bucket groupby —
+    # same pathology _finish guards against: at high read parallelism the
+    # combiner leaves hundreds of sub-MB blocks and groupby's sample-sort
+    # (one partition per input block) degenerates into an exchange of tiny
+    # objects.  Measured on the triples stage at sf4: 12.1 s → 8.5 s at
+    # 32 CPUs with this coalesce.
+    if mat.num_blocks() > num_buckets * 2:
+        mat = mat.repartition(num_buckets)
     return (mat.map_batches(add_bucket, batch_format="pandas")
             .groupby("__bucket").map_groups(per_bucket,
                                             batch_format="pandas"))

@@ -484,17 +484,20 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
                      confidence=pl.col("confidence").max())
                 .to_pandas())
 
-    TRIPLES_SCHEMA = pa.schema([
-        ("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string()),
-        ("subj_type", pa.string()), ("obj_type", pa.string()),
-        ("mention_count", pa.int64()), ("n_units", pa.int64()),
-        ("passage_ids", pa.list_(pa.string())),
-        ("confidence", pa.float64())])
-
     def write_triples(tmp: str):
         partials = (read_extract_kind(extract_dir, extract.KIND_REL)
                     .map_batches(resolve_triples_fn, batch_format="pandas",
                                  batch_size=8192))
+        # coalesce merges map_groups' zero-column empty blocks away (join
+        # schema safety) — but its count also caps downstream parallelism
+        # (typing map + final sort run one task per block), so size it to
+        # the cpu budget, not a constant 8 (measured: the final sort ran
+        # 8-wide on 32 cpus).
+        merged = hashagg.grouped_apply(partials,
+                                       ["subj_id", "pred", "obj_id"],
+                                       triples_bucket,
+                                       coalesce=max(8, _ncpu()))
+
         # entity typing against the nodes table — SIZE-GATED strategy:
         # prose entity vocabularies are bounded (thousands), but
         # code-symbol nodes scale WITH the corpus (every defined function),
@@ -507,50 +510,24 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
         n_nodes = pads.dataset(
             glob_.glob(os.path.join(nodes_dir, "*.parquet"))).count_rows()
         if n_nodes <= BROADCAST_MAX_ROWS:
-            # RANGE-bucketed merge: buckets are contiguous subj ranges and
-            # triples_bucket returns each bucket sorted by (s,p,o), so the
-            # output stream is already globally sorted — the separate
-            # full-payload sort exchange (~half the stage wall at sf8) is
-            # folded into the one aggregation shuffle.
-            merged = hashagg.range_grouped_apply(
-                partials, ["subj_id", "pred", "obj_id"], triples_bucket)
             ntbl = pq.read_table(nodes_dir,
                                  columns=["entity_id", "entity_type"])
             type_ref = ray.put(dict(zip(
                 ntbl["entity_id"].to_pylist(),
                 ntbl["entity_type"].to_pylist())))
 
-            def finish(df: pd.DataFrame) -> pa.Table:
-                # map_groups emits zero-column blocks for empty range
-                # buckets; emit the typed empty table so every block
-                # carries the same write schema
-                if len(df) == 0 or "subj" not in df.columns:
-                    return TRIPLES_SCHEMA.empty_table()
+            def finish(df: pd.DataFrame) -> pd.DataFrame:
                 tmap = get_cached(type_ref)
                 df = df.copy()
                 df["subj_type"] = df["subj"].map(tmap).fillna("unknown")
                 df["obj_type"] = df["obj"].map(tmap).fillna("unknown")
                 df["passage_ids"] = df["passage_ids_str"].str.split("\x1f")
-                out = df[["subj", "pred", "obj", "subj_type", "obj_type",
-                          "mention_count", "n_units", "passage_ids",
-                          "confidence"]]
-                return pa.Table.from_pandas(out, schema=TRIPLES_SCHEMA,
-                                            preserve_index=False)
+                return df[["subj", "pred", "obj", "subj_type", "obj_type",
+                           "mention_count", "n_units", "passage_ids",
+                           "confidence"]]
 
-            (merged.map_batches(finish, batch_format="pandas")
-             .map_batches(strip_meta, batch_format="pyarrow")
-             .write_parquet(tmp))
-            return
+            typed = merged.map_batches(finish, batch_format="pandas")
         else:
-            # hash-bucketed merge; joins destroy order, so this path keeps
-            # the explicit final sort.  coalesce merges map_groups'
-            # zero-column empty blocks away (join schema safety) — but its
-            # count also caps downstream parallelism (typing map + final
-            # sort run one task per block), so size it to the cpu budget.
-            merged = hashagg.grouped_apply(partials,
-                                           ["subj_id", "pred", "obj_id"],
-                                           triples_bucket,
-                                           coalesce=max(8, _ncpu()))
             nodes_s = rd.read_parquet(
                 nodes_dir, columns=["entity_id", "entity_type"]).map_batches(
                 lambda df: df.rename(columns={"entity_id": "subj",
