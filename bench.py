@@ -120,9 +120,12 @@ def main():
                                 "/tmp/raykg_scaling/sf4")
         lo, hi = 8, 32
         run_child(hi, sf_dir)               # generates corpus + warms cache
-        time.sleep(8)                       # let the session drain
+        # sync + cooldown between legs: each leg writes ~GBs of parquet to
+        # /tmp and the next leg's writes stall behind the previous leg's
+        # writeback (measured ~30% inflation of the short 32-CPU legs)
+        os.sync(); time.sleep(30)
         r_lo = run_child(lo, sf_dir)
-        time.sleep(8)
+        os.sync(); time.sleep(30)
         r_hi = run_child(hi, sf_dir)
         thr_lo = r_lo["triples_per_sec"]
         thr_hi = r_hi["triples_per_sec"]

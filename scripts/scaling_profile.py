@@ -28,7 +28,17 @@ from bench import run_child  # noqa: E402
 SF_DIR = os.environ.get("GRAFT_SCALING_SF_DIR", "/tmp/raykg_scaling/sf4")
 LO, HI = 8, 32
 PAIRS = 3
-COOLDOWN = 10
+COOLDOWN = 30
+
+
+def drain():
+    """Flush dirty pages before the next timed leg.  Each leg writes ~GBs
+    of parquet to /tmp; without an explicit sync the NEXT leg's writes
+    stall behind the previous leg's writeback, which measured as a ~30%
+    inflation of the (shorter) 32-CPU legs vs fresh isolated runs —
+    corrupting the efficiency ratio in either direction."""
+    os.sync()
+    time.sleep(COOLDOWN)
 
 
 def stage_walls(ncpu: int) -> dict[str, float]:
@@ -46,12 +56,12 @@ def stage_walls(ncpu: int) -> dict[str, float]:
 def main():
     legs = {LO: [], HI: []}
     run_child(HI, SF_DIR)            # untimed: generate corpus + warm cache
-    time.sleep(COOLDOWN)
+    drain()
     for i in range(PAIRS):
         for ncpu in (LO, HI):
             r = run_child(ncpu, SF_DIR)
             legs[ncpu].append(r)
-            time.sleep(COOLDOWN)
+            drain()
 
     thr_lo = statistics.median(r["triples_per_sec"] for r in legs[LO])
     thr_hi = statistics.median(r["triples_per_sec"] for r in legs[HI])
