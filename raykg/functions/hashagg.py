@@ -394,7 +394,13 @@ def cogroup_apply(sources, keys: Sequence[str],
             else:
                 out["__bucket"] = _bucket_expr(
                     pl.from_pandas(out[keys]), keys, num_buckets).to_numpy()
-            return out
+            # ship Arrow through the exchange (see grouped_apply); the
+            # pandas round-trip in per_bucket turns nullable ints/bools
+            # into float64/object — per_bucket casts back via `cols`
+            try:
+                return pa.Table.from_pandas(out, preserve_index=False)
+            except Exception:
+                return out
         return f
 
     mapped = sources[0][0].map_batches(
@@ -407,7 +413,10 @@ def cogroup_apply(sources, keys: Sequence[str],
         g = g.drop(columns="__bucket")
         frames = []
         for i, (_, _, cols) in enumerate(sources):
-            frames.append(g[g["__src"] == i][list(cols)])
+            # restore each source's declared dtypes: the arrow->pandas
+            # conversion widened null-padded Int64/boolean to
+            # float64/object
+            frames.append(g[g["__src"] == i][list(cols)].astype(cols))
         return final_fn(frames)
 
     return _finish(mapped, per_bucket, coalesce, num_buckets)
