@@ -62,15 +62,23 @@ def _bucket_expr(d, keys: list[str], num_buckets: int):
 
 
 def _finish(mapped: rd.Dataset, per_bucket, coalesce: int | None,
-            num_buckets: int = DEFAULT_BUCKETS) -> rd.Dataset:
-    mat = mapped.materialize()            # barrier: see module docstring §3
+            num_buckets: int = DEFAULT_BUCKETS,
+            barrier: bool = True) -> rd.Dataset:
+    # barrier=False skips the materialize for upstreams that are already
+    # materialized-and-cheap (e.g. a filter over a materialized dataset):
+    # groupby's sort-sampling re-executes the lazy upstream, which is only
+    # harmful when that upstream is expensive.  Saves one full execution
+    # (~1 s scheduling floor) per aggregation.
+    mat = mapped.materialize() if barrier else mapped
     # groupby's sample-sort creates one partition PER INPUT BLOCK: when the
     # combiner ran over hundreds of read tasks, the partials arrive as
     # hundreds of sub-MB blocks and the sort degenerates into an
     # O(blocks^2) exchange of tiny objects (measured 14 s for 811k rows /
     # 277 MB at 400 blocks vs ~2 s at 64).  Coalesce partials to ~1 block
     # per bucket first — a cheap linear pass over the (combined) partials.
-    if mat.num_blocks() > num_buckets * 2:
+    # (num_blocks is only known post-materialize; the barrier=False path
+    # inherits its upstream's block count, already bounded by its caller.)
+    if barrier and mat.num_blocks() > num_buckets * 2:
         mat = mat.repartition(num_buckets)
     out = (mat.groupby("__bucket")
            .map_groups(per_bucket, batch_format="pandas"))
@@ -130,7 +138,7 @@ def grouped_apply(ds: rd.Dataset, keys: Sequence[str],
 
 def _pl_two_phase(ds: rd.Dataset, keys: list[str], agg_exprs_partial,
                   agg_exprs_final, num_buckets: int,
-                  coalesce: int | None) -> rd.Dataset:
+                  coalesce: int | None, barrier: bool = True) -> rd.Dataset:
     """Shared polars partial→bucket→final plan for the builtin helpers."""
     pl = _pl()
 
@@ -145,7 +153,7 @@ def _pl_two_phase(ds: rd.Dataset, keys: list[str], agg_exprs_partial,
                 .sort(keys).to_pandas())
 
     return _finish(ds.map_batches(partial, batch_format="pyarrow"),
-                   final, coalesce, num_buckets)
+                   final, coalesce, num_buckets, barrier=barrier)
 
 
 def count_rows(ds: rd.Dataset, keys: Sequence[str], name: str = "count",
@@ -161,13 +169,15 @@ def count_rows(ds: rd.Dataset, keys: Sequence[str], name: str = "count",
 def sum_col(ds: rd.Dataset, keys: Sequence[str], col: str,
             name: str | None = None,
             num_buckets: int = DEFAULT_BUCKETS,
-            coalesce: int | None = None) -> rd.Dataset:
+            coalesce: int | None = None,
+            barrier: bool = True) -> rd.Dataset:
     """groupby(keys).sum(col) with a per-batch combiner."""
     pl = _pl()
     name = name or col
     return _pl_two_phase(ds, list(keys),
                          [pl.col(col).sum().alias(name)],
-                         [pl.col(name).sum()], num_buckets, coalesce)
+                         [pl.col(name).sum()], num_buckets, coalesce,
+                         barrier=barrier)
 
 
 def distinct(ds: rd.Dataset, keys: Sequence[str],
@@ -242,7 +252,11 @@ def sum_col_contiguous(ds: rd.Dataset, keys: Sequence[str], col: str,
     marked = ds.map_batches(partial, batch_format="pyarrow").materialize()
     interior = marked.map_batches(side(False), batch_format="pyarrow")
     boundary = marked.map_batches(side(True), batch_format="pyarrow")
-    return interior.union(sum_col(boundary, keys, name, name=name))
+    # barrier=False: `boundary` is a cheap filter over the already-
+    # materialized `marked`; re-execution by the groupby sampler is
+    # harmless and skipping the second materialize saves one execution
+    return interior.union(sum_col(boundary, keys, name, name=name,
+                                  barrier=False))
 
 
 def range_grouped_apply(ds: rd.Dataset, keys: Sequence[str],
