@@ -43,6 +43,11 @@ def run_bench() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    # map_groups legitimately emits zero-column blocks for empty sort
+    # partitions; ray.data's executor warns on every one — noise, not
+    # signal, in bench output
+    import logging
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
 
     from raykg.pipelines import kg
     from raykg.pipelines import queries as Q
