@@ -55,6 +55,13 @@ def run_stage(out_root: str, name: str,
 
     t0 = time.time()
     info = write_fn(tmp_dir) or {}
+    # Dataset/plan objects are cyclic, so the MaterializedDatasets a stage
+    # held (shuffle barriers) survive write_fn's return until a cycle
+    # collection runs — keeping their object-store blocks (and spill
+    # files) alive into the NEXT stage's exchanges.  Collect now so each
+    # stage starts against a drained store.
+    import gc
+    gc.collect()
     wall = time.time() - t0
 
     # per-file footer reads parallelized — file counts scale with data and
