@@ -1407,11 +1407,15 @@ def q_lore_check(sf_dir: str):
             rel_keys[(rid(c.subject), c.predicate, rid(c.obj))] = i
     keys_ref = ray.put(set(rel_keys))
 
-    def trip_ev(df: pd.DataFrame) -> pd.DataFrame:
+    def trip_ev(df: pd.DataFrame) -> pa.Table:
         ks = get_cached(keys_ref)
         mask = [(s, pr, o) in ks for s, pr, o in
                 zip(df["subj"], df["pred"], df["obj"])]
-        return df[mask][["subj", "pred", "obj", "mention_count"]]
+        # emit Arrow: mostly-empty filtered pandas blocks make ray.data's
+        # size estimator log per-column vectorize errors on object dtypes
+        return pa.Table.from_pandas(
+            df[mask][["subj", "pred", "obj", "mention_count"]],
+            preserve_index=False)
 
     trip = (rd.read_parquet(p["triples"],
                             columns=["subj", "pred", "obj",
@@ -1425,10 +1429,12 @@ def q_lore_check(sf_dir: str):
                   if c.claim_type == cl.ENTITY_EXISTS and c.subject}
     names_ref = ray.put(subj_names)
 
-    def node_ev(df: pd.DataFrame) -> pd.DataFrame:
+    def node_ev(df: pd.DataFrame) -> pa.Table:
         ns = get_cached(names_ref)
         mask = df["canonical_name"].str.lower().isin(ns)
-        return df[mask][["canonical_name", "entity_type"]]
+        return pa.Table.from_pandas(
+            df[mask][["canonical_name", "entity_type"]],
+            preserve_index=False)
 
     nodes = (rd.read_parquet(p["nodes"],
                              columns=["canonical_name", "entity_type"])
@@ -1446,11 +1452,12 @@ def q_lore_check(sf_dir: str):
             ev_agents.add(c.event2[0].lower())
     agents_ref = ray.put(ev_agents)
 
-    def ev_ev(df: pd.DataFrame) -> pd.DataFrame:
+    def ev_ev(df: pd.DataFrame) -> pa.Table:
         ag = get_cached(agents_ref)
         mask = df["subj"].str.lower().isin(ag)
-        return df[mask][["subj", "pred", "obj", "era", "year",
-                         "event_key"]]
+        return pa.Table.from_pandas(
+            df[mask][["subj", "pred", "obj", "era", "year", "event_key"]],
+            preserve_index=False)
 
     evd = (ev.dedup_events(_events_ds(sf_dir))
            .map_batches(ev_ev, batch_format="pandas").to_pandas())
