@@ -53,6 +53,30 @@ SPL_SENTINEL = "\x1f"
 _ABBREV_RES: tuple[tuple[re.Pattern, str], ...] = tuple(
     (re.compile(rf"\b{abbr}\.", re.IGNORECASE), abbr + DOT_SENTINEL)
     for abbr in vocab.ABBREVIATIONS)
+# ONE combined alternation in list order — equivalent to the sequential
+# per-abbreviation passes (matches never overlap a replacement: the
+# sentinel breaks any later "<abbr>\." match) but 18× fewer scans of the
+# text; sequential re.sub was 60% of the units stage's CPU.  The repl
+# restores canonical casing via lookup; the any-char dot of "i.e"/"e.g"
+# can match variant text, resolved by fullmatching those patterns.
+_ABBREV_COMBINED = re.compile(
+    rf"\b({'|'.join(vocab.ABBREVIATIONS)})\.", re.IGNORECASE)
+_ABBREV_CANON = {a.lower(): a for a in vocab.ABBREVIATIONS}
+_ABBREV_DOTTED = tuple((re.compile(rf"{a}\Z", re.IGNORECASE), a)
+                       for a in vocab.ABBREVIATIONS if "." in a)
+
+
+def _abbrev_repl(m: re.Match) -> str:
+    g = m.group(1)
+    canon = _ABBREV_CANON.get(g.lower())
+    if canon is None:
+        for rx, a in _ABBREV_DOTTED:
+            if rx.match(g):
+                canon = a
+                break
+        else:                      # unreachable: alternation matched
+            canon = g
+    return canon + DOT_SENTINEL
 _SENT_RE = re.compile(SENT_BOUNDARY_PATTERN)
 _PARA_RE = re.compile(PARA_SPLIT_PATTERN)
 _CHAPTER_RE = re.compile(CHAPTER_HEADER_PATTERN,
@@ -65,8 +89,7 @@ def split_sentences(text: str) -> list[str]:
     (substituting canonical case — reference behavior), split after
     ``[.!?]`` before a capital or straight double quote."""
     t = normalize_ws(text)
-    for rx, repl in _ABBREV_RES:
-        t = rx.sub(repl, t)
+    t = _ABBREV_COMBINED.sub(_abbrev_repl, t)
     t = _SENT_RE.sub(r"\1" + SPL_SENTINEL + r"\2", t)
     out = []
     for s in t.split(SPL_SENTINEL):
