@@ -112,11 +112,19 @@ def pattern_entities(text: str, ner_res=None):
     the title/epithet families (IGNORECASE, in _compile_patterns order) as
     a PERSON span at conf 0.9, surface = full match.  Returns
     (start, end, conf, text, label) spans in emission order — callers run
-    :func:`dedup_overlapping_spans` over them (+ other tiers)."""
+    :func:`dedup_overlapping_spans` over them (+ other tiers).
+
+    Each pattern family is gated behind a C-speed substring prescreen
+    (``_NER_TRIGGERS``: lowercase words every possible match must
+    contain — a NECESSARY condition, so gating never changes output);
+    most units trigger no family and skip all five regex scans."""
     if ner_res is None:
         ner_res = _NER_RES
+    lt = text.lower()
     spans = []
-    for rx in ner_res:
+    for rx, trig in zip(ner_res, _NER_TRIGGERS):
+        if trig is not None and not any(t in lt for t in trig):
+            continue
         for m in rx.finditer(text):
             spans.append((m.start(), m.end(), PATTERN_CONF, m.group(0),
                           "PERSON"))
@@ -124,6 +132,18 @@ def pattern_entities(text: str, ner_res=None):
 
 
 _NER_RES = tuple(re.compile(p, re.IGNORECASE) for p in vocab.NER_PATTERNS)
+# one trigger tuple PER pattern in vocab.NER_PATTERNS order; every string
+# a pattern can match contains at least one trigger (case-folded).  When
+# patterns change, update triggers or set the slot to None (= no gate).
+_NER_TRIGGERS: tuple[tuple[str, ...] | None, ...] = (
+    ("king", "queen", "lord", "lady", "prince", "chief", "captain",
+     "steward"),
+    ("wizard", "king", "lord", "lady", "enemy", "rider"),
+    ("ring", "halfling", "perian", "dwarf-friend", "elf-friend"),
+    ("necromancer", "enemy", "dark lord", "shadow"),
+    ("gandalf", "saruman", "radagast"),
+) if len(vocab.NER_PATTERNS) == 5 else tuple(
+    None for _ in vocab.NER_PATTERNS)
 
 
 class UnitExtractor:
@@ -213,13 +233,17 @@ class UnitExtractor:
             emit(KIND_REL, s, pred=pred, obj=o, conf=conf, method=src,
                  start=ms, end=me)
 
-        # alias statements → union-find edges
-        for m in self.alias_re.finditer(text):
-            emit(KIND_ALIAS, m.group(1), pred="ALIAS_OF", obj=m.group(2),
-                 conf=1.0, start=m.start(), end=m.end())
+        # alias statements → union-find edges (substring prescreen: the
+        # pattern contains the literal ", also known as " — necessary
+        # condition, C-speed skip for ~every unit)
+        if "also known as" in text:
+            for m in self.alias_re.finditer(text):
+                emit(KIND_ALIAS, m.group(1), pred="ALIAS_OF", obj=m.group(2),
+                     conf=1.0, start=m.start(), end=m.end())
 
         # temporal + events: era/year attach to SVO matches in the same unit
-        em = self.era_re.search(text)
+        # (same necessary-substring prescreen: pattern contains " Age, year ")
+        em = self.era_re.search(text) if "Age, year" in text else None
         if em is not None:
             era, year = em.group(1), int(em.group(2))
             for m in self.svo_re.finditer(text):
