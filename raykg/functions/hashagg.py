@@ -252,11 +252,12 @@ def sum_col_contiguous(ds: rd.Dataset, keys: Sequence[str], col: str,
     marked = ds.map_batches(partial, batch_format="pyarrow").materialize()
     interior = marked.map_batches(side(False), batch_format="pyarrow")
     boundary = marked.map_batches(side(True), batch_format="pyarrow")
-    # barrier=False: `boundary` is a cheap filter over the already-
-    # materialized `marked`; re-execution by the groupby sampler is
-    # harmless and skipping the second materialize saves one execution
-    return interior.union(sum_col(boundary, keys, name, name=name,
-                                  barrier=False))
+    # keep the barrier: barrier=False looked like a free execution saved,
+    # but the groupby sampler re-executes the boundary FILTER, i.e. a
+    # second full scan of `marked` — measured 8.4 s vs 4.5 s for this
+    # stage at sf8/32 CPUs.  The materialize holds only the tiny filtered
+    # boundary rows.
+    return interior.union(sum_col(boundary, keys, name, name=name))
 
 
 def range_grouped_apply(ds: rd.Dataset, keys: Sequence[str],
