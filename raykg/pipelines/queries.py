@@ -1417,12 +1417,11 @@ def q_lore_check(sf_dir: str):
             df[mask][["subj", "pred", "obj", "mention_count"]],
             preserve_index=False)
 
-    trip = (rd.read_parquet(p["triples"],
-                            columns=["subj", "pred", "obj",
-                                     "mention_count"])
-            .map_batches(trip_ev, batch_format="pandas").to_pandas())
-    trip_map = {(r["subj"], r["pred"], r["obj"]): int(r["mention_count"])
-                for _, r in trip.iterrows()}
+    def scan_trip() -> pd.DataFrame:
+        return (rd.read_parquet(p["triples"],
+                                columns=["subj", "pred", "obj",
+                                         "mention_count"])
+                .map_batches(trip_ev, batch_format="pandas").to_pandas())
 
     # --- evidence scan 2: nodes for entity-exists claims ---
     subj_names = {c.subject.lower() for c in claims
@@ -1436,11 +1435,10 @@ def q_lore_check(sf_dir: str):
             df[mask][["canonical_name", "entity_type"]],
             preserve_index=False)
 
-    nodes = (rd.read_parquet(p["nodes"],
-                             columns=["canonical_name", "entity_type"])
-             .map_batches(node_ev, batch_format="pandas").to_pandas())
-    node_map = {r["canonical_name"].lower(): r["entity_type"]
-                for _, r in nodes.iterrows()}
+    def scan_nodes() -> pd.DataFrame:
+        return (rd.read_parquet(p["nodes"],
+                                columns=["canonical_name", "entity_type"])
+                .map_batches(node_ev, batch_format="pandas").to_pandas())
 
     # --- evidence scan 3: deduped events for temporal/order claims ---
     ev_agents = set()
@@ -1459,9 +1457,9 @@ def q_lore_check(sf_dir: str):
             df[mask][["subj", "pred", "obj", "era", "year", "event_key"]],
             preserve_index=False)
 
-    evd = (ev.dedup_events(_events_ds(sf_dir))
-           .map_batches(ev_ev, batch_format="pandas").to_pandas())
-    evd["era_ord"] = evd["era"].map(vocab.ERA_ORDER).fillna(-1).astype(int)
+    def scan_events() -> pd.DataFrame:
+        return (ev.dedup_events(_events_ds(sf_dir))
+                .map_batches(ev_ev, batch_format="pandas").to_pandas())
 
     # --- evidence scan 4: rule-shaped sentences for attr/capability ---
     pairs = [(i, c.subject.lower(), c.value.lower()) for i, c in
@@ -1484,8 +1482,26 @@ def q_lore_check(sf_dir: str):
                     hits.append(cid)
         return pd.DataFrame({"cid": pd.Series(hits, dtype="int64")})
 
-    rules = (rd.read_parquet(p["units"], columns=["lang", "text"])
-             .map_batches(rule_ev, batch_format="pandas").to_pandas())
+    def scan_rules() -> pd.DataFrame:
+        return (rd.read_parquet(p["units"], columns=["lang", "text"])
+                .map_batches(rule_ev, batch_format="pandas").to_pandas())
+
+    # the four evidence scans are independent executions over different
+    # tables — run them CONCURRENTLY so their per-execution scheduling
+    # floors overlap (same pattern as the units stage partitions)
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=4) as _ex:
+        f_trip, f_nodes, f_evd, f_rules = (_ex.submit(scan_trip),
+                                           _ex.submit(scan_nodes),
+                                           _ex.submit(scan_events),
+                                           _ex.submit(scan_rules))
+        trip, nodes, evd, rules = (f_trip.result(), f_nodes.result(),
+                                   f_evd.result(), f_rules.result())
+    trip_map = {(r["subj"], r["pred"], r["obj"]): int(r["mention_count"])
+                for _, r in trip.iterrows()}
+    node_map = {r["canonical_name"].lower(): r["entity_type"]
+                for _, r in nodes.iterrows()}
+    evd["era_ord"] = evd["era"].map(vocab.ERA_ORDER).fillna(-1).astype(int)
     rule_counts = rules["cid"].value_counts().to_dict()
 
     # --- assemble (driver side, O(#claims)) ---
