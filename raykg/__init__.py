@@ -56,6 +56,19 @@ def _pin_fsspec_http_stub() -> None:
 
         mod = types.ModuleType("fsspec.implementations.http")
         mod.HTTPFileSystem = HTTPFileSystem
+        mod.__doc__ = ("raykg stub (installed because the real module "
+                       "failed to import: aiohttp is not installed).  Only "
+                       "HTTPFileSystem is provided, as an isinstance "
+                       "target; any other attribute raises.")
+
+        def _missing(name: str):
+            # any name besides HTTPFileSystem (e.g. HTTPStreamFile) gets a
+            # truthful error instead of a confusing bare ImportError
+            raise ModuleNotFoundError(
+                "fsspec.implementations.http is a raykg stub (aiohttp is "
+                f"not installed); attribute {name!r} is unavailable")
+
+        mod.__getattr__ = _missing
         sys.modules["fsspec.implementations.http"] = mod
 
 

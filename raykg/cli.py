@@ -56,8 +56,17 @@ def _to_pandas(res):
 
 def _show(res, limit: int | None, out: str | None) -> None:
     """Print head of a query result; optionally write full result parquet."""
-    if out is not None and hasattr(res, "write_parquet"):
-        res.write_parquet(out)              # streamed, never collected
+    if out is not None:
+        if hasattr(res, "write_parquet"):   # ray.data.Dataset
+            res.write_parquet(out)          # streamed, never collected
+        else:                               # pandas DataFrame / pyarrow Table
+            import os
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            tbl = res if isinstance(res, pa.Table) else \
+                pa.Table.from_pandas(_to_pandas(res), preserve_index=False)
+            os.makedirs(out, exist_ok=True)
+            pq.write_table(tbl, os.path.join(out, "part-0.parquet"))
         click.echo(f"wrote {out}")
         return
     df = _to_pandas(res.limit(limit) if limit and hasattr(res, "limit")

@@ -411,9 +411,14 @@ def cogroup_apply(sources, keys: Sequence[str],
                     pl.from_pandas(out[keys]), keys, num_buckets).to_numpy()
             # ship Arrow through the exchange (see grouped_apply); the
             # pandas round-trip in per_bucket turns nullable ints/bools
-            # into float64/object — per_bucket casts back via `cols`
+            # into float64/object — per_bucket casts back via `cols`.
+            # Strip the from_pandas 'pandas' schema metadata: dicts make
+            # pa.Schema unhashable, and every shuffle reduce that concats
+            # such blocks logs "Failed to hash the schemas" from worker
+            # processes the raykg log filter can't reach.
             try:
-                return pa.Table.from_pandas(out, preserve_index=False)
+                return pa.Table.from_pandas(
+                    out, preserve_index=False).replace_schema_metadata(None)
             except Exception:
                 return out
         return f
@@ -424,14 +429,36 @@ def cogroup_apply(sources, keys: Sequence[str],
         mapped = mapped.union(
             ds.map_batches(wrap(i, pf, cols), batch_format="pandas"))
 
+    _NULLABLE_TWIN = {"int64": "Int64", "int32": "Int32",
+                      "bool": "boolean", "float64": "Float64"}
+
+    def _restore_dtypes(sub: pd.DataFrame, cols: dict[str, str]
+                        ) -> pd.DataFrame:
+        # Restore each source's declared dtypes after the arrow->pandas
+        # round-trip widened null-padded Int64/boolean to float64/object.
+        # Cast through the NULLABLE extension twin first: a source whose
+        # own int/bool column legitimately contains nulls would make a
+        # direct astype('int64') raise ValueError; such columns keep the
+        # nullable dtype (Int64/boolean) instead.  Note: int64 values
+        # above 2^53 in a null-PADDED column still lose precision in the
+        # float64 detour Ray's pandas conversion takes — keys that large
+        # should be strings (every current caller's keys are).
+        out = pd.DataFrame(index=sub.index)
+        for c, dt in cols.items():
+            twin = _NULLABLE_TWIN.get(dt)
+            if twin is None:
+                out[c] = sub[c].astype(dt)
+                continue
+            s = sub[c].astype(twin)
+            out[c] = s if s.isna().any() else s.astype(dt)
+        return out
+
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns="__bucket")
         frames = []
         for i, (_, _, cols) in enumerate(sources):
-            # restore each source's declared dtypes: the arrow->pandas
-            # conversion widened null-padded Int64/boolean to
-            # float64/object
-            frames.append(g[g["__src"] == i][list(cols)].astype(cols))
+            frames.append(_restore_dtypes(g[g["__src"] == i][list(cols)],
+                                          cols))
         return final_fn(frames)
 
     return _finish(mapped, per_bucket, coalesce, num_buckets)

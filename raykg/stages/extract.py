@@ -114,15 +114,19 @@ def pattern_entities(text: str, ner_res=None):
     (start, end, conf, text, label) spans in emission order — callers run
     :func:`dedup_overlapping_spans` over them (+ other tiers).
 
-    Each pattern family is gated behind a C-speed substring prescreen
-    (``_NER_TRIGGERS``: lowercase words every possible match must
-    contain — a NECESSARY condition, so gating never changes output);
-    most units trigger no family and skip all five regex scans."""
+    Each pattern is gated behind a C-speed substring prescreen keyed by the
+    pattern's EXACT source string (``_TRIGGERS_BY_PATTERN``: lowercase
+    words every possible match must contain — a NECESSARY condition, so
+    gating never changes output); most units trigger no family and skip
+    all five regex scans.  Custom patterns (a non-default ``ner_res``, the
+    §2.9 extension seam) or edited defaults simply miss the lookup and run
+    UNGATED — gating can only ever be a no-op, never drop matches."""
     if ner_res is None:
         ner_res = _NER_RES
     lt = text.lower()
     spans = []
-    for rx, trig in zip(ner_res, _NER_TRIGGERS):
+    for rx in ner_res:
+        trig = _TRIGGERS_BY_PATTERN.get(rx.pattern)
         if trig is not None and not any(t in lt for t in trig):
             continue
         for m in rx.finditer(text):
@@ -132,18 +136,23 @@ def pattern_entities(text: str, ner_res=None):
 
 
 _NER_RES = tuple(re.compile(p, re.IGNORECASE) for p in vocab.NER_PATTERNS)
-# one trigger tuple PER pattern in vocab.NER_PATTERNS order; every string
-# a pattern can match contains at least one trigger (case-folded).  When
-# patterns change, update triggers or set the slot to None (= no gate).
-_NER_TRIGGERS: tuple[tuple[str, ...] | None, ...] = (
-    ("king", "queen", "lord", "lady", "prince", "chief", "captain",
-     "steward"),
-    ("wizard", "king", "lord", "lady", "enemy", "rider"),
-    ("ring", "halfling", "perian", "dwarf-friend", "elf-friend"),
-    ("necromancer", "enemy", "dark lord", "shadow"),
-    ("gandalf", "saruman", "radagast"),
-) if len(vocab.NER_PATTERNS) == 5 else tuple(
-    None for _ in vocab.NER_PATTERNS)
+# trigger prescreens keyed by the exact pattern STRING (not position):
+# every string the pattern can match contains ≥1 trigger (case-folded).
+# A pattern whose content changes no longer matches its key and runs
+# ungated — correct by construction, just unprescreened.
+_TRIGGERS_BY_PATTERN: dict[str, tuple[str, ...]] = {
+    vocab.NER_TITLE_PATTERNS[0]:
+        ("king", "queen", "lord", "lady", "prince", "chief", "captain",
+         "steward"),
+    vocab.NER_TITLE_PATTERNS[1]:
+        ("wizard", "king", "lord", "lady", "enemy", "rider"),
+    vocab.NER_EPITHET_PATTERNS[0]:
+        ("ring", "halfling", "perian", "dwarf-friend", "elf-friend"),
+    vocab.NER_EPITHET_PATTERNS[1]:
+        ("necromancer", "enemy", "dark lord", "shadow"),
+    vocab.NER_EPITHET_PATTERNS[2]:
+        ("gandalf", "saruman", "radagast"),
+}
 
 
 class UnitExtractor:

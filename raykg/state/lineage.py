@@ -190,9 +190,16 @@ def run_partitioned_stage(out_root: str, name: str, partition_ids,
         part_infos = [run_one(pid) for pid in partition_ids]
 
     os.rename(parts_root, final_dir)
-    # elapsed, not sum(per-partition walls) — concurrent partitions overlap
+    # wall_sec = stage ELAPSED time (concurrent partitions overlap);
+    # partition_wall_sum = the old pre-v2 semantics (sum of per-partition
+    # walls).  manifest_version marks which semantics wall_sec carries so
+    # downstream status/scaling comparisons never mix the two: absent
+    # (v1) = sum-of-partition-walls, 2 = elapsed.
     manifest = {"stage": name,
+                "manifest_version": 2,
                 "wall_sec": round(time.time() - t_stage, 3),
+                "partition_wall_sum": round(
+                    sum(p["wall_sec"] for p in part_infos), 3),
                 "total_rows": sum(p["rows"] for p in part_infos),
                 "partitions": part_infos,
                 "partitioned": True}
