@@ -283,15 +283,19 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
             # actor pool: model/client state built once per actor (ST1/ST4)
             conc = extract_concurrency if extract_concurrency is not None \
                 else (1, max(2, _ncpu() // 2))
+            # max_restarts=0 on every actor-pool stage: Ray Data 2.49
+            # ships the transformer via the object store (ray#53727), so
+            # actor RESTART (vs replacement) could never succeed after
+            # arg loss anyway; recovery = lineage stage resume
             prose = units.map_batches(
                 extract.UnitExtractor, batch_format="pyarrow",
                 batch_size=batch_size, zero_copy_batch=True,
-                concurrency=conc,
+                concurrency=conc, max_restarts=0,
                 fn_constructor_kwargs={"llm_backend": llm_backend})
             from raykg.stages import registry
             code = read_corpus().map_batches(
                 registry.DispatchCodeExtractor, batch_format="pyarrow",
-                batch_size=64, concurrency=conc)
+                batch_size=64, concurrency=conc, max_restarts=0)
         else:
             prose = units.map_batches(
                 extract_units_fn, batch_format="pyarrow",
@@ -316,9 +320,11 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
     known_ids = {v[0] for v in alias_index.values()}
 
     def pairs_to_edges(t: pa.Table) -> pa.Table:
+        # alias-pair slice is vocabulary-bounded; the fuzzy index is
+        # memoized per process and hoisted out of the row loop
+        fz = link.fuzzy_index_for(alias_index)
         us, vs = [], []
         for x, y in zip(t["subj"].to_pylist(), t["obj"].to_pylist()):
-            fz = link.fuzzy_index_for(alias_index)
             us.append(link.resolve_key(link.norm_key(x), alias_index,
                                        fz)[0])
             vs.append(link.resolve_key(link.norm_key(y), alias_index,

@@ -188,9 +188,16 @@ def _metrics_build(sf_dir: str):
                          columns=["unit_id", "doc_sha256", "repo", "lang",
                                   "text"])
     # STATEFUL ACTOR POOL (ST1): the POS lexicon model deserializes once
-    # per actor in StyleMetrics.__init__; autoscaling pool (1, 4)
+    # per actor in StyleMetrics.__init__; autoscaling pool (1, 4).
+    # max_restarts=0 (Ray's documented knob): Ray Data 2.49 always ships
+    # the map transformer to actors THROUGH THE OBJECT STORE (ray#53727),
+    # so the default infinite-actor-restart path would FAIL anyway if
+    # those args were ever lost — recovery is the stage-level
+    # checkpoint/resume (state/lineage.py) instead, which re-runs the
+    # stage from its parquet inputs.
     return ds.map_batches(fp.StyleMetrics, batch_format="pyarrow",
-                          batch_size=2048, concurrency=(1, 4))
+                          batch_size=2048, concurrency=(1, 4),
+                          max_restarts=0)
 
 
 def _metrics_ds(sf_dir: str):
@@ -487,6 +494,23 @@ def q_dialogue_spans(sf_dir: str):
                 batch_format="pyarrow"))
 
 
+def q_dialogue_spans_all(sf_dir: str):
+    """M11 EXTENDED quote extraction: all six reference quote patterns
+    (voice/dialogue.py:148-156 — the reference defines them but scans only
+    [:2]) with unit-level double-quote preference, tier-1 attribution
+    (the SQL-expressible contract).  ``quote_tier`` = 1-based pattern
+    index."""
+    from raykg.stages import dialogue as dlg
+    p = kg_paths(sf_dir)
+    ds = rd.read_parquet(p["units"], columns=["unit_id", "lang", "text"])
+    return (ds.map_batches(dlg.spans_batch_all, batch_format="pyarrow",
+                           batch_size=2048)
+            .map_batches(lambda t: t.filter(
+                pc.equal(t["attribution_tier"], 1)).drop_columns(
+                ["position", "attribution_tier"]),
+                batch_format="pyarrow"))
+
+
 def q_voice_profiles(sf_dir: str):
     """A12 per-speaker voice profiles over tier-1 spans (≥3 lines)."""
     from raykg.stages import dialogue as dlg
@@ -779,7 +803,7 @@ def q_ann_topk(sf_dir: str):
             super().__init__(query_ref)
 
     return (ds.map_batches(TopK, batch_size=4096, batch_format="pyarrow",
-                           concurrency=(1, 4))
+                           concurrency=(1, 4), max_restarts=0)
             .groupby("query_id")
             .map_groups(sim.final_topk, batch_format="pandas"))
 
@@ -792,7 +816,7 @@ def q_multimodal_features(sf_dir: str):
             .map_batches(mm.to_binary_batch, batch_format="pyarrow")
             .map_batches(mm.FakeDecoder, batch_format="pyarrow",
                          batch_size=mm.DECODE_BATCH_SIZE,
-                         concurrency=(1, 4))
+                         concurrency=(1, 4), max_restarts=0)
             .map_batches(lambda df: df.assign(
                 f0=df["features"].apply(lambda f: f[0]),
                 f1=df["features"].apply(lambda f: f[1]))[
@@ -945,21 +969,26 @@ def q_kg_merge_candidates(sf_dir: str):
 
 def q_style_delta(sf_dir: str):
     """A10 Burrows' Delta between repo fingerprints: mean |z_a − z_b| over
-    the shared function words (style/fingerprint.py:176-203).  The repo
-    count is a small constant → the pairwise step is driver-side over the
-    distributed per-(repo, word) counts."""
-    from raykg.functions import hashagg
-    from raykg.stages import fingerprint as fp
-    import numpy as np
-    p = kg_paths(sf_dir)
-    ds = rd.read_parquet(p["units"], columns=["repo", "lang", "text"])
-    counts = hashagg.sum_col(
-        ds.map_batches(fp.word_counts_batch, batch_format="pyarrow",
-                       batch_size=2048),
-        ["repo", "word"], "cnt").to_pandas()
+    the shared function words (style/fingerprint.py:176-203).
 
-    totals = counts.groupby("repo")["cnt"].sum()
-    fw = counts[counts["word"].isin(vocab.FUNCTION_WORDS)].copy()
+    Fully distributed up to the driver boundary: per-repo token totals are
+    a distributed sum over the shared (repo, word) count table, and the
+    ``word ∈ FUNCTION_WORDS`` filter runs inside ``map_batches`` — only
+    the 100 × n_repos function-word matrix plus the n_repos totals ever
+    reach the driver (the word vocabulary grows with the corpus; the
+    function-word list and repo count are constants)."""
+    from raykg.functions import hashagg
+    import numpy as np
+    counts = _word_counts_ds(sf_dir)
+    totals = (hashagg.sum_col(counts, ["repo"], "cnt", name="total",
+                              coalesce=2)
+              .to_pandas().set_index("repo")["total"])     # n_repos rows
+    fw_set = set(vocab.FUNCTION_WORDS)
+    fw = (counts.map_batches(
+        lambda df: df.loc[df["word"].isin(fw_set),
+                          ["repo", "word", "cnt"]],
+        batch_format="pandas")
+        .to_pandas())                                      # ≤100 × n_repos
     fw["freq"] = fw["cnt"] / fw["repo"].map(totals)
     mat = (fw.pivot_table(index="word", columns="repo", values="freq",
                           fill_value=0.0))
@@ -990,16 +1019,22 @@ def q_voice_distinctive(sf_dir: str):
                  pc.equal(t["attribution_tier"], 1)),
                  batch_format="pyarrow"))
 
+    _STOP = list(vocab.STOPWORDS)
+
     def words_partial(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for sp, q in zip(df["speaker"], df["quote_text"]):
-            for w in q.lower().split():
-                w = w.strip('.,!?;:"')
-                if w and w not in vocab.STOPWORDS:
-                    rows.append((sp, w))
-        out = pd.DataFrame(rows, columns=["speaker", "word"])
-        return (out.groupby(["speaker", "word"], sort=False).size()
-                .reset_index(name="cnt"))
+        # vectorized tokenize-explode-count (polars); \S+ extraction ≡
+        # Python str.split() whitespace semantics
+        import polars as pl
+        d = pl.from_pandas(df[["speaker", "quote_text"]])
+        out = (d.with_columns(pl.col("quote_text").str.to_lowercase()
+                              .str.extract_all(r"\S+").alias("word"))
+               .explode("word")
+               .with_columns(pl.col("word").str.strip_chars('.,!?;:"'))
+               .filter(pl.col("word").str.len_bytes() > 0)
+               .filter(~pl.col("word").is_in(_STOP))
+               .group_by(["speaker", "word"])
+               .agg(pl.len().cast(pl.Int64).alias("cnt")))
+        return out.to_pandas()
 
     counts = hashagg.grouped_apply(
         spans, ["speaker", "word"],
@@ -1346,6 +1381,57 @@ def q_kg_fuzzy_links(sf_dir: str):
     from raykg.functions import hashagg
     return hashagg.distinct(ds.map_batches(pick, batch_format="pandas"),
                             ["mention_text", "entity_id", "score"])
+
+
+def q_kg_merge_verify(sf_dir: str):
+    """J3 WIRED into the merge-candidate flow: every fuzzy link in the
+    uncertain band (score ∈ [0.85, 0.95) — below the reference's
+    auto-merge bar) is routed through :func:`raykg.state.llm
+    .llm_verify_match` under BOTH documented failure polarities — the
+    cross-book resolver keeps the merge on LLM failure
+    (corpus/resolver.py:246-286, default True) while the in-book dynamic
+    resolver rejects it (dynamic_resolver.py:266-297, default False).
+
+    The client is built ONCE per actor (ST1/ST4 seam) around the
+    deterministic offline stub (:class:`raykg.state.llm
+    .DeterministicVerifyStub`), so the surface is fully SQL-oracled:
+    silence (odd surface length) exposes the polarity asymmetry, answers
+    follow the stub's fixed arithmetic rule."""
+    from raykg.functions import hashagg
+    import pyarrow.compute as _pc
+
+    band = q_kg_fuzzy_links(sf_dir).map_batches(
+        lambda t: t.filter(_pc.less(t["score"], 0.95)),
+        batch_format="pyarrow")
+
+    class Verify:
+        def __init__(self):
+            from raykg.state import llm as llm_mod
+            self.llm = llm_mod
+            self.client = llm_mod.LLMClient(
+                llm_mod.DeterministicVerifyStub())
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            answered, cross, inbook = [], [], []
+            for a, b in zip(df["mention_text"], df["entity_id"]):
+                resp = self.client.generate(
+                    f'Are "{a}" and "{b}" the same entity '
+                    f"(person/place/thing)?\n\nAnswer only YES or NO:")
+                answered.append(bool(resp))
+                cross.append(self.llm.llm_verify_match(
+                    self.client, a, b, default=True))
+                inbook.append(self.llm.llm_verify_match(
+                    self.client, a, b, default=False))
+            out["llm_answered"] = answered
+            out["merge_cross_book"] = cross
+            out["merge_in_book"] = inbook
+            return out
+    # pairs are vocabulary-bounded but the stage is still an actor pool —
+    # a real model would make this the expensive step
+    return band.map_batches(Verify, batch_format="pandas",
+                            batch_size=1024, concurrency=(1, 2),
+                            max_restarts=0)
 
 
 def lore_claims(sf_dir: str) -> list[str]:
@@ -2630,18 +2716,60 @@ GROUP BY 1, 2, 3, 4, 5"""
     UM = unit_metrics_cte()
     # tier-1 SQL contract: quote immediately followed by [,.]? + speech
     # verb + 1-2 word Name — mirrors dialogue._T1_RE on the after-context
-    # (IGNORECASE, reference voice/dialogue.py:238-245)
-    span_pat = ('(?i)"([^"]+)"[,.]?' + r"\s*(" +
-                "|".join(vocab.SPEECH_VERBS) +
-                r")\s+([A-Z][a-z]+(?:\s+[A-Z][a-z]+)?)")
+    # (IGNORECASE, reference voice/dialogue.py:238-245).  One arm per
+    # quote tier (reference voice/dialogue.py:148-156); the default spans
+    # CTE unions the two DOUBLE-quote arms the reference's scan loop
+    # actually covers (quote_patterns[:2]).
+    from raykg.stages import dialogue as dlg
+    _verb_name_sfx = (r"[,.]?\s*(" + "|".join(vocab.SPEECH_VERBS) +
+                      r")\s+([A-Z][a-z]+(?:\s+[A-Z][a-z]+)?)")
+
+    def _span_arm(tiers: tuple[int, ...], where: str = "") -> str:
+        """One SELECT scanning the given quote tiers as a SINGLE
+        alternation regex: RE2's left-to-right scan makes the range()
+        index equal the engine's merged sorted-by-start ``position``
+        even when one unit mixes quote styles (the splitter merges
+        consecutive dialogue sentences, so straight+curly in one unit is
+        real).  Group k = tier k's content; verb/speaker follow."""
+        alts = "|".join(dlg.QUOTE_PATTERNS_ALL[t - 1].replace("'", "''")
+                        for t in tiers)
+        pat = "(?i)(?:" + alts + ")" + _verb_name_sfx
+        n = len(tiers)
+        content = "CASE " + " ".join(
+            f"WHEN g{i + 1} <> '' THEN g{i + 1}" for i in range(n)
+        ) + " END"
+        tier_case = "CASE " + " ".join(
+            f"WHEN g{i + 1} <> '' THEN {t}" for i, t in enumerate(tiers)
+        ) + " END"
+        gcols = ",\n      ".join(
+            f"unnest(regexp_extract_all(text, '{pat}', {i + 1})) AS g{i + 1}"
+            for i in range(n))
+        return f"""
+  SELECT unit_id, {content} AS quote_text,
+         CAST({tier_case} AS BIGINT) AS quote_tier,
+         speech_verb, speaker, position
+  FROM (
+    SELECT unit_id,
+      {gcols},
+      unnest(regexp_extract_all(text, '{pat}', {n + 1})) AS speech_verb,
+      unnest(regexp_extract_all(text, '{pat}', {n + 2})) AS speaker,
+      unnest(range(0, len(regexp_extract_all(text, '{pat}', 1)))) AS position
+    FROM units WHERE lang = 'txt'{where})"""
+
     spans_cte = f"""
-spans AS (
-  SELECT unit_id,
-    unnest(regexp_extract_all(text, '{span_pat}', 1)) AS quote_text,
-    unnest(regexp_extract_all(text, '{span_pat}', 2)) AS speech_verb,
-    unnest(regexp_extract_all(text, '{span_pat}', 3)) AS speaker,
-    unnest(range(0, len(regexp_extract_all(text, '{span_pat}', 1)))) AS position
-  FROM units WHERE lang = 'txt'
+spans AS ({_span_arm((1, 2))}
+)"""
+    # unit-level double-quote preference gate for the extended tiers 3-6:
+    # a unit with ANY double-quote match (raw search, pre-strip — exactly
+    # dialogue.extract_quotes_all's gate) never yields single/mojibake
+    # spans.  Tier 5 (raw-byte mojibake chars) is omitted: the generator
+    # never emits those control characters, so both sides are vacuously
+    # empty — the engine still scans it (unit-tested).
+    _no_double = (" AND NOT regexp_matches(text, '\"[^\"]+\"')"
+                  " AND NOT regexp_matches(text, '“[^”]+”')")
+    spans_all_cte = f"""
+spans_all AS ({_span_arm((1, 2))}
+  UNION ALL{_span_arm((3, 4, 6), _no_double)}
 )"""
     era_case = ("CASE era " + " ".join(
         f"WHEN '{e}' THEN {i}" for e, i in vocab.ERA_ORDER.items()) +
@@ -2792,6 +2920,14 @@ SELECT unit_id, quote_text, speaker, speech_verb,
        quote_text LIKE '%!' AS is_exclamation,
        0.9 AS attribution_conf
 FROM spans"""
+
+    if name == "dialogue_spans_all":
+        return f"""WITH {U},{spans_all_cte}
+SELECT unit_id, quote_text, quote_tier, speaker, speech_verb,
+       quote_text LIKE '%?' AS is_question,
+       quote_text LIKE '%!' AS is_exclamation,
+       0.9 AS attribution_conf
+FROM spans_all"""
 
     if name == "voice_profiles":
         return _voice_profiles_sql(U, spans_cte)
@@ -3403,6 +3539,24 @@ FROM routed"""
                 "round(fuzzy_score, 6) AS score "
                 "FROM resolved WHERE fuzzy_score IS NOT NULL")
 
+    if name == "kg_merge_verify":
+        # DeterministicVerifyStub's arithmetic rule, verbatim: silence
+        # when ord(lower(a[0])) % 3 == 0 (→ polarity defaults), YES on
+        # remainder 1, NO on remainder 2
+        return f"""WITH {U},{M},{R},
+fl AS (SELECT DISTINCT mention_text, entity_id,
+              round(fuzzy_score, 6) AS score
+       FROM resolved WHERE fuzzy_score IS NOT NULL),
+band AS (SELECT *,
+                ascii(lower(substr(mention_text, 1, 1))) % 3 <> 0 AS answered,
+                ascii(lower(substr(mention_text, 1, 1))) % 3 = 1 AS yes
+         FROM fl WHERE score < 0.95)
+SELECT mention_text, entity_id, score,
+       answered AS llm_answered,
+       CASE WHEN answered THEN yes ELSE true END AS merge_cross_book,
+       CASE WHEN answered THEN yes ELSE false END AS merge_in_book
+FROM band"""
+
     if name == "kg_type_conflicts":
         prose = ", ".join(f"'{t}'" for t in PROSE_TYPES)
         return (f"WITH {U},{M},{R},{nodes_sql} "
@@ -3581,6 +3735,8 @@ QUERY_FNS = {
     "style_delta": q_style_delta,
     "event_order": q_event_order,
     "dialogue_spans": q_dialogue_spans,
+    "dialogue_spans_all": q_dialogue_spans_all,
+    "kg_merge_verify": q_kg_merge_verify,
     "kg_merge_candidates": q_kg_merge_candidates,
     "voice_distinctive": q_voice_distinctive,
     "style_unit_metrics": q_style_unit_metrics,
