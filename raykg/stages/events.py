@@ -16,9 +16,10 @@ Transposed reference semantics:
 
 ``order_edges`` solves the sorted-Dataset window problem (SURVEY.md §7.4)
 distributively: in-block adjacent-pair edges are computed INSIDE
-``map_batches`` (vectorized shifted-column compare), and each block ships
-only its edge rows plus 2 boundary-marker rows; the driver stitches the
-O(num_blocks) cross-block pairs.
+``map_batches`` (vectorized shifted-column compare) and STREAM to a
+parquet sink; only the 2 boundary-marker rows per block reach the driver
+(parquet filter pushdown), which stitches the O(num_blocks) cross-block
+pairs and appends them.
 """
 
 from __future__ import annotations
@@ -108,15 +109,36 @@ def _block_edges_and_markers(t):
     })
 
 
-def order_edges(events: rd.Dataset) -> pd.DataFrame:
+_EMPTY_EDGES = {"event1": pd.Series([], dtype=str),
+                "relation": pd.Series([], dtype=str),
+                "event2": pd.Series([], dtype=str),
+                "confidence": pd.Series([], dtype="float64")}
+
+
+def order_edges(events: rd.Dataset,
+                edges_out: str | None = None) -> rd.Dataset:
     """R8: sort deduped events by (era_ord, year, event_key); adjacent
     pairs → `before` edges.
 
     In-block pairs are emitted INSIDE ``map_batches`` over the sorted
-    Dataset (vectorized numpy compare of shifted columns); only the final
-    edge rows plus 2 marker rows per block reach the driver, where the
-    block boundaries are stitched.  At write-to-parquet scale the edge
-    batches would stream to a sink instead of collecting."""
+    Dataset (vectorized numpy compare of shifted columns) and every block
+    STREAMS its edges straight to a parquet sink (``edges_out``, a /tmp
+    scratch dir by default) — edge rows never touch the driver.  The
+    driver then reads back ONLY the O(2 × num_blocks) boundary-marker
+    rows via parquet filter pushdown, reconstructs block adjacency by
+    sorting the markers on the events' own sort key (blocks are
+    contiguous ranges of the global sort, and ``event_key`` is unique
+    after :func:`dedup_events`, so ``(m_era, m_year, event1, marker)``
+    ordering IS block order), and appends the stitched cross-block
+    edges.  Driver memory is O(num_blocks), independent of event count
+    (tests/test_dialogue_events.py::test_order_edges_driver_bounded).
+
+    Returns a Dataset with columns (event1, relation, event2, confidence).
+    """
+    import os
+    import tempfile
+
+    import pyarrow.dataset as pads
 
     def add_ord(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -129,33 +151,44 @@ def order_edges(events: rd.Dataset) -> pd.DataFrame:
                  .map_batches(_block_edges_and_markers,
                               batch_format="pyarrow", batch_size=None))
 
-    from ray.data import DataContext
-    ctx = DataContext.get_current()
-    prev = ctx.execution_options.preserve_order
-    ctx.execution_options.preserve_order = True   # block order == sort order
-    try:
-        batches = [b for b in sorted_ds.iter_batches(
-            batch_size=None, batch_format="pandas") if len(b)]
-    finally:
-        ctx.execution_options.preserve_order = prev
+    out_dir = edges_out or tempfile.mkdtemp(prefix="raykg_event_edges_")
+    sorted_ds.write_parquet(out_dir)
 
-    edges = [b[b["marker"] == 0] for b in batches]
-    # stitch block boundaries: last marker of block k × first of block k+1
-    firsts = [b[b["marker"] == 1].iloc[0] for b in batches]
-    lasts = [b[b["marker"] == 2].iloc[0] for b in batches]
+    files = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
+    if not files:                                    # zero events
+        return rd.from_pandas(pd.DataFrame(_EMPTY_EDGES))
+
+    # driver side: marker rows only (filter pushdown at the read)
+    markers = (pads.dataset(out_dir)
+               .to_table(filter=pads.field("marker") != 0,
+                         columns=["event1", "marker", "m_era", "m_year"])
+               .to_pandas()
+               .sort_values(["m_era", "m_year", "event1", "marker"],
+                            kind="mergesort").reset_index(drop=True))
     stitched = []
-    for k in range(len(batches) - 1):
-        a, b = lasts[k], firsts[k + 1]
-        conf = _edge_conf(a["m_era"], b["m_era"], a["m_year"], b["m_year"])
-        if conf > 0:
-            stitched.append((a["event1"], b["event1"], conf))
-    out = pd.concat(edges, ignore_index=True) if edges else pd.DataFrame(
-        columns=["event1", "event2", "confidence"])
+    for i in range(len(markers) - 1):
+        a, b = markers.iloc[i], markers.iloc[i + 1]
+        if a["marker"] == 2 and b["marker"] == 1:    # last_k → first_{k+1}
+            conf = _edge_conf(a["m_era"], b["m_era"],
+                              a["m_year"], b["m_year"])
+            if conf > 0:
+                stitched.append((a["event1"], "before", b["event1"], conf))
+
+    def finish(t):
+        import pyarrow as pa
+        return pa.table({
+            "event1": t["event1"],
+            "relation": pa.array(["before"] * t.num_rows, pa.string()),
+            "event2": t["event2"],
+            "confidence": t["confidence"],
+        })
+
+    edge_ds = (rd.read_parquet(out_dir, filter=pads.field("marker") == 0,
+                               columns=["event1", "event2", "confidence",
+                                        "marker"])
+               .map_batches(finish, batch_format="pyarrow"))
     if stitched:
-        out = pd.concat([out[["event1", "event2", "confidence"]],
-                         pd.DataFrame(stitched, columns=[
-                             "event1", "event2", "confidence"])],
-                        ignore_index=True)
-    out = out[["event1", "event2", "confidence"]].copy()
-    out.insert(1, "relation", "before")
-    return out.reset_index(drop=True)
+        edge_ds = edge_ds.union(rd.from_pandas(pd.DataFrame(
+            stitched,
+            columns=["event1", "relation", "event2", "confidence"])))
+    return edge_ds

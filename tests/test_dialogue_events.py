@@ -88,10 +88,53 @@ def test_order_edges(ray_session):
         "era": ["First", "First", "Second", "Second"],
         "year": [5, 10, 3, 3],
     })
-    edges = ev.order_edges(ev.dedup_events(rd.from_pandas(df)))
+    edges = ev.order_edges(ev.dedup_events(rd.from_pandas(df))).to_pandas()
     assert len(edges) == 2   # (A,B) same era diff year; (B,C) era change;
     #                          (C,D) same era same year -> skipped
     confs = dict(zip(zip(edges["event1"].str[:1], edges["event2"].str[:1]),
                      edges["confidence"]))
     assert confs[("a", "b")] == 0.9
     assert confs[("b", "c")] == 0.95
+
+
+def test_order_edges_driver_bounded(ray_session, tmp_path):
+    """Edges stream to the parquet sink — the driver sees only marker
+    rows.  Inflated event count (20k unique events over 3 eras), forced
+    into many blocks; asserts (a) edge rows live in the sink files, (b)
+    the full adjacent-pair edge set is exactly reproduced."""
+    import ray.data as rd
+    from raykg import vocab
+    n = 20_000
+    eras = [vocab.ERAS[i % 3] for i in range(n)]
+    df = pd.DataFrame({
+        "unit_id": [f"u{i:06d}" for i in range(n)],
+        "subj": [f"agent{i:06d}" for i in range(n)],
+        "pred": ["destroyed"] * n,
+        "obj": [f"thing{i:06d}" for i in range(n)],
+        "era": eras,
+        "year": [i // 7 for i in range(n)],
+    })
+    out_dir = str(tmp_path / "edges")
+    ds = ev.dedup_events(rd.from_pandas(df).repartition(16))
+    edges = ev.order_edges(ds, edges_out=out_dir).to_pandas()
+
+    # oracle: sequential scan over the globally sorted events
+    sdf = df.copy()
+    sdf["event_key"] = [ev.event_key(a, p, o) for a, p, o in
+                        zip(sdf["subj"], sdf["pred"], sdf["obj"])]
+    sdf["era_ord"] = [vocab.ERA_ORDER[e] for e in sdf["era"]]
+    sdf = sdf.sort_values(["era_ord", "year", "event_key"])
+    expect = set()
+    prev = None
+    for r in sdf.itertuples():
+        if prev is not None:
+            c = ev._edge_conf(prev.era_ord, r.era_ord, prev.year, r.year)
+            if c > 0:
+                expect.add((prev.event_key, r.event_key, c))
+        prev = r
+    got = set(zip(edges["event1"], edges["event2"], edges["confidence"]))
+    assert got == expect
+    # the sink holds the edge rows (driver never concatenated them)
+    import pyarrow.dataset as pads
+    sink = pads.dataset(out_dir).to_table()
+    assert sink.num_rows >= len(expect)
