@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 from raykg import vocab
 from raykg.functions.textnorm import sha256_hex, slugify
 
-GEN_VERSION = 15
+GEN_VERSION = 17
 CACHE_ROOT = "/tmp/raykg_data"
 
 # ---------------------------------------------------------------- name pools
@@ -314,7 +314,29 @@ class _FileGen:
                   '"Behold the dawn, my friend,"',
                   '"You\'re certain of it?"']
         q = quotes[self.rng.randint(len(quotes))]
-        return f"{q} {verb} {s}."
+        # extended quote tiers (reference voice/dialogue.py:148-156):
+        # ~25% of dialogue units use a curly-double / straight-single /
+        # curly-single / mojibake quote style.  Content for the
+        # single-quote styles is apostrophe-free (the reference's own
+        # "be careful - apostrophes" hazard) and every dialogue unit
+        # carries exactly ONE quote span.
+        style = self.rng.rand()
+        if style < 0.75 or "'" in s:
+            return f"{q} {verb} {s}."
+        alt = ["We must go at once,", "It is too late,", "Hold the gate!",
+               "The night is cold,", "Who walks there?"]
+        a = alt[self.rng.randint(len(alt))]
+        if style < 0.82:
+            return f"“{a}” {verb} {s}."     # tier 2 curly double
+        if style < 0.89:
+            return f"'{a}' {verb} {s}."               # tier 3 single
+        if style < 0.96:
+            return f"‘{a}’ {verb} {s}."     # tier 4 curly single
+        # tier 6 mojibake: content starts LOWERCASE — 'œ' is a Unicode
+        # letter, so Python's \b (Unicode) and DuckDB's RE2 \b (ASCII)
+        # disagree about a capital letter glued to it; a lowercase first
+        # word keeps the cap-token scans identical on both sides
+        return f"â€œ{a[0].lower()}{a[1:]}â€ {verb} {s}."
 
     def sent_alias(self) -> str:
         pairs = []

@@ -4,9 +4,13 @@ on real prose is pinned by tests/test_ref_parity.py).
 
 Reference semantics (``voice/dialogue.py``):
 
-* span extraction   — ``voice/dialogue.py:148-170`` (M11): straight AND
-  curly double-quoted spans (the two patterns the reference actually
-  scans), stripped, >1 char, merged and ordered by position.
+* span extraction   — ``voice/dialogue.py:148-170`` (M11): the reference
+  DEFINES six quote patterns (:148-156) but its scan loop covers only
+  ``quote_patterns[:2]`` (:162, "Focus on double quotes") — straight and
+  curly DOUBLE quotes, stripped, >1 char, merged and ordered by
+  position.  The default path here reproduces that byte-exactly; the
+  extended tiers 3-6 (straight/curly single + two mojibake shapes) are
+  available via :func:`extract_quotes_all` with double-quote preference.
 * context windows   — ``voice/dialogue.py:176-181``: 100 chars either
   side, stripped; tier-4 looks at only 30 chars.
 * speaker attribution — ``voice/dialogue.py:221-316`` (M12) 4 tiers:
@@ -31,14 +35,31 @@ import pyarrow as pa
 
 from raykg import vocab
 
-# straight + curly double quotes — the two patterns the reference scans
-# (voice/dialogue.py:148-153, quote_patterns[:2])
-QUOTE_PATTERNS: tuple[str, ...] = (r'"([^"]+)"', "“([^”]+)”")
+# ALL SIX quote-pattern strings the reference DEFINES
+# (voice/dialogue.py:148-156): straight double, curly double, straight
+# single, curly single, and two mangled-double-encoding ("mojibake")
+# shapes.  NOTE the reference's own scan loop covers only
+# ``quote_patterns[:2]`` (voice/dialogue.py:162, "# Focus on double
+# quotes") — the default path here mirrors that runtime behavior exactly
+# (parity pinned by tests/test_ref_parity.py); the extended tiers 3-6 run
+# via :func:`extract_quotes_all` / :func:`spans_batch_all` with the
+# double-quote preference the reference's comment declares.
+QUOTE_PATTERNS_ALL: tuple[str, ...] = (
+    r'"([^"]+)"',                            # 1 straight double
+    "“([^”]+)”",              # 2 curly double
+    r"'([^']+)'",                            # 3 straight single (apostrophes!)
+    "‘([^’]+)’",              # 4 curly single
+    "\xe2\x80\x9c([^\xe2]+)\xe2\x80\x9d",    # 5 mojibake, raw-byte chars
+    "â€œ([^â]+)â€",                          # 6 mojibake, decoded chars
+)
+# the reference's runtime scan (quote_patterns[:2]) — the default here
+QUOTE_PATTERNS: tuple[str, ...] = QUOTE_PATTERNS_ALL[:2]
 MIN_LINES = 3
 CONTEXT_CHARS = 100        # voice/dialogue.py:176-177
 TIER4_WINDOW = 30          # voice/dialogue.py:299,308
 
 _QUOTE_RES = tuple(re.compile(p) for p in QUOTE_PATTERNS)
+_QUOTE_RES_ALL = tuple(re.compile(p) for p in QUOTE_PATTERNS_ALL)
 _SPEECH = "|".join(vocab.SPEECH_VERBS)     # longest-first, deterministic
 _T1_RE = re.compile(r"^[,.]?\s*(" + _SPEECH +
                     r")\s+([A-Z][a-z]+(?:\s+[A-Z][a-z]+)?)", re.IGNORECASE)
@@ -58,6 +79,35 @@ def extract_quotes(text: str) -> list[tuple[str, int, int]]:
             qt = m.group(1).strip()
             if len(qt) > 1:
                 quotes.append((qt, m.start(), m.end()))
+    quotes.sort(key=lambda q: q[1])
+    return quotes
+
+
+def extract_quotes_all(text: str) -> list[tuple[str, int, int, int]]:
+    """Extended extraction over ALL SIX reference quote patterns
+    (voice/dialogue.py:148-156) with the double-quote preference the
+    reference's comment declares ("Combine patterns, prefer double
+    quotes"): the double-quote tiers 1-2 are scanned first, and the
+    single-quote / mojibake tiers 3-6 run ONLY on units where neither
+    double-quote pattern matches at all (raw ``search``, pre-strip — the
+    same unit-level gate the SQL oracle applies).  The unit-level gate
+    keeps the apostrophe-hazard of pattern 3 (the reference's own
+    "be careful - apostrophes" note) away from prose that already has
+    attributed double-quoted dialogue.  Within tiers 3-6, pattern order
+    is priority order: a match overlapping an earlier-kept span is
+    dropped.  Returns (quote_text, start, end, quote_tier) sorted by
+    start; quote_tier is the 1-based pattern index."""
+    if any(rx.search(text) for rx in _QUOTE_RES):
+        return [(qt, s, e, 1 if text[s] == '"' else 2)
+                for qt, s, e in extract_quotes(text)]
+    quotes: list[tuple[str, int, int, int]] = []
+    for tier, rx in enumerate(_QUOTE_RES_ALL[2:], start=3):
+        for m in rx.finditer(text):
+            qt = m.group(1).strip()
+            if len(qt) > 1 and not any(
+                    m.start() < e and m.end() > s
+                    for _, s, e, _ in quotes):
+                quotes.append((qt, m.start(), m.end(), tier))
     quotes.sort(key=lambda q: q[1])
     return quotes
 
@@ -118,6 +168,44 @@ def spans_batch(t: pa.Table) -> pa.Table:
         "doc_sha256": pa.array(out["doc_sha256"], pa.string()),
         "repo": pa.array(out["repo"], pa.string()),
         "quote_text": pa.array(out["quote_text"], pa.string()),
+        "speaker": pa.array(out["speaker"], pa.string()),
+        "speech_verb": pa.array(out["speech_verb"], pa.string()),
+        "position": pa.array(out["position"], pa.int64()),
+        "is_question": pa.array(out["is_question"], pa.bool_()),
+        "is_exclamation": pa.array(out["is_exclamation"], pa.bool_()),
+        "attribution_conf": pa.array(out["attribution_conf"], pa.float64()),
+        "attribution_tier": pa.array(out["attribution_tier"], pa.int64()),
+    })
+
+
+def spans_batch_all(t: pa.Table) -> pa.Table:
+    """:func:`spans_batch` over the EXTENDED six-tier quote extraction
+    (:func:`extract_quotes_all`); adds a ``quote_tier`` column (1-based
+    reference pattern index, voice/dialogue.py:148-156)."""
+    import pyarrow.compute as pc
+    t = t.filter(pc.equal(t["lang"], "txt"))
+    out = {k: [] for k in ("unit_id", "quote_text", "quote_tier",
+                           "speaker", "speech_verb", "position",
+                           "is_question", "is_exclamation",
+                           "attribution_conf", "attribution_tier")}
+    for uid, text in zip(t["unit_id"].to_pylist(), t["text"].to_pylist()):
+        for pos, (content, start, end, qtier) in enumerate(
+                extract_quotes_all(text)):
+            speaker, verb, conf, tier = attribute_speaker(text, start, end)
+            out["unit_id"].append(uid)
+            out["quote_text"].append(content)
+            out["quote_tier"].append(qtier)
+            out["speaker"].append(speaker)
+            out["speech_verb"].append(verb)
+            out["position"].append(pos)
+            out["is_question"].append(content.endswith("?"))
+            out["is_exclamation"].append(content.endswith("!"))
+            out["attribution_conf"].append(conf)
+            out["attribution_tier"].append(tier)
+    return pa.table({
+        "unit_id": pa.array(out["unit_id"], pa.string()),
+        "quote_text": pa.array(out["quote_text"], pa.string()),
+        "quote_tier": pa.array(out["quote_tier"], pa.int64()),
         "speaker": pa.array(out["speaker"], pa.string()),
         "speech_verb": pa.array(out["speech_verb"], pa.string()),
         "position": pa.array(out["position"], pa.int64()),

@@ -91,6 +91,39 @@ class StubBackend:
         return ""
 
 
+class DeterministicVerifyStub(StubBackend):
+    """Offline deterministic 'model' for the J3 merge-verify surface
+    (q_kg_merge_verify): parses the :func:`llm_verify_match` prompt and
+    answers
+
+    * "" (silence — simulated transport failure) when
+      ``ord(lower(a[0])) % 3 == 0``, exercising BOTH documented failure
+      polarities (cross-book default True, corpus/resolver.py:246-286;
+      in-book default False, dynamic_resolver.py:266-297);
+    * "YES" when the remainder is 1, "NO" when it is 2.
+
+    The rule is arbitrary BY DESIGN: it stands in for a real model while
+    being a pure function of the pair, so the whole query surface is
+    DuckDB-expressible and hash-checked (``ascii(lower(substr(a,1,1)))``
+    on the SQL side); the mod-3 split lands the synthetic corpus's fuzzy
+    surfaces in all three branches.  Any prompt that is not a verify
+    prompt falls through to the canned-substring table."""
+
+    _VERIFY_RE = re.compile(r'Are "(.+?)" and "(.+?)" the same entity')
+
+    def generate(self, prompt: str, temperature: float = 0.3,
+                 timeout: float = 120.0) -> str:
+        m = self._VERIFY_RE.search(prompt)
+        if m is None:
+            return super().generate(prompt, temperature, timeout)
+        self.calls += 1
+        a = m.group(1)
+        o = ord(a[:1].lower()) if a else 0
+        if o % 3 == 0:
+            return ""                       # simulated failure → defaults
+        return "YES" if o % 3 == 1 else "NO"
+
+
 class LLMClient:
     """Provider-switchable client (reference llm.py:17-70): generate()
     never raises — any backend failure returns ""."""

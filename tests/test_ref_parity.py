@@ -97,6 +97,38 @@ def test_dialogue_parity_exact(real_text):
     assert agree == tot                 # currently exact
 
 
+def test_dialogue_single_quote_parity(real_text):
+    """Single-quoted dialogue fixture: the reference's scan loop covers
+    only quote_patterns[:2] (voice/dialogue.py:162, 'Focus on double
+    quotes'), so single-quoted prose yields ZERO reference spans — and the
+    engine's DEFAULT path matches that byte-exactly.  The engine's
+    extended tiers 3-6 (the patterns the reference defines at :148-156
+    but never scans) DO extract them, with the declared double-quote
+    preference."""
+    fixtures = [
+        "'We must go at once,' said Aldric.",
+        "‘Hold the gate!’ cried Belmor.",
+        "â€œwho walks there?â€ asked Tor.",
+    ]
+    for text in fixtures:
+        r = ref_oracle.ref_dialogue(text)
+        assert r.dialogue_lines == []            # reference: nothing
+        assert dlg.extract_quotes(text) == []    # default path: parity
+        ext = dlg.extract_quotes_all(text)       # extended: extracts
+        assert len(ext) == 1 and ext[0][3] in (3, 4, 6)
+        spk, _v, conf, tier = dlg.attribute_speaker(
+            text, ext[0][1], ext[0][2])
+        assert tier == 1 and conf == 0.9
+        assert spk in ("Aldric", "Belmor", "Tor")
+    # double-quote preference: a double-quoted unit never yields
+    # single-quote spans even when apostrophes could pair up
+    mixed = '"We can\'t stay, it isn\'t safe," said Aldric.'
+    assert [q[3] for q in dlg.extract_quotes_all(mixed)] == [1]
+    ref_mixed = ref_oracle.ref_dialogue(mixed)
+    assert [ln.text for ln in ref_mixed.dialogue_lines] == \
+        [q[0] for q in dlg.extract_quotes_all(mixed)]
+
+
 def test_dialogue_attribution_confidences(real_text):
     """Attribution confidences match the reference tier constants."""
     ref_mod = ref_oracle.dialogue()
