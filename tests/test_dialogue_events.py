@@ -53,6 +53,37 @@ def test_question_exclamation_classification():
     assert bool(df["is_exclamation"].iloc[0])
 
 
+def test_extract_quotes_all_tiers_and_preference():
+    """Extended six-tier extraction: tier index per pattern, unit-level
+    double-quote preference, apostrophe hazard confined to gated units."""
+    # tiers 3/4/6 fire only when no double-quote pattern matches
+    assert dlg.extract_quotes_all("'Hold the gate!' cried Belmor.") == \
+        [("Hold the gate!", 0, 16, 3)]
+    assert dlg.extract_quotes_all(
+        "‘The night is cold,’ said Aldric.")[0][3] == 4
+    assert dlg.extract_quotes_all(
+        "â€œwho walks there?â€ asked Tor.")[0][3] == 6
+    # tier 5 (raw-byte mojibake chars) is scanned too
+    t5 = "\xe2\x80\x9cIt is too late,\xe2\x80\x9d said Aldric."
+    assert dlg.extract_quotes_all(t5)[0][3] == 5
+    # double-quote preference: singles suppressed in double-quoted units
+    mixed = '"We can\'t stay, it isn\'t safe," said Aldric.'
+    assert [q[3] for q in dlg.extract_quotes_all(mixed)] == [1]
+    # default path ignores single quotes entirely (reference parity)
+    assert dlg.extract_quotes("'Hold the gate!' cried Belmor.") == []
+
+
+def test_spans_batch_all_schema_and_attribution():
+    t = pa.table({"unit_id": ["u1", "u2"], "lang": ["txt", "txt"],
+                  "text": ["'We must go at once,' said Aldric.",
+                           '"Hold the gate!" cried Belmor.']})
+    df = dlg.spans_batch_all(t).to_pandas()
+    assert list(df["quote_tier"]) == [3, 1]
+    assert list(df["speaker"]) == ["Aldric", "Belmor"]
+    assert list(df["attribution_tier"]) == [1, 1]
+    assert bool(df["is_exclamation"].iloc[1])
+
+
 def test_event_key_normalization():
     # reference events.py:381-395 — "Bilbo found Ring"/"Bilbo finds the Ring"
     k1 = ev.event_key("Bilbo", "found", "Ring")

@@ -66,6 +66,35 @@ def test_merge_verify_polarity_asymmetry():
     assert llm.llm_verify_match(no, "A", "B", default=True) is False
 
 
+def test_deterministic_verify_stub_branches():
+    """J3 offline stub: ord(lower(a[0])) % 3 picks silence / YES / NO;
+    non-verify prompts fall through to the canned table."""
+    stub = llm.DeterministicVerifyStub({"hello": "world"})
+    client = llm.LLMClient(stub)
+
+    def ask(a, b="whatever"):
+        return client.generate(f'Are "{a}" and "{b}" the same entity '
+                               f"(person/place/thing)?\n\nAnswer only "
+                               f"YES or NO:")
+    # ord('c')=99 %3==0 -> silent; ord('g')=103 %3==1 -> YES;
+    # ord('k')=107 %3==2 -> NO
+    assert ask("Corric") == ""
+    assert ask("Galric") == "YES"
+    assert ask("Kelric") == "NO"
+    # silence routes to the polarity defaults through llm_verify_match
+    assert llm.llm_verify_match(client, "Corric", "cordric",
+                                default=True) is True
+    assert llm.llm_verify_match(client, "Corric", "cordric",
+                                default=False) is False
+    # answered pairs ignore the default
+    assert llm.llm_verify_match(client, "Galric", "galdric",
+                                default=False) is True
+    assert llm.llm_verify_match(client, "Kelric", "keldric",
+                                default=True) is False
+    # fall-through to canned-substring behavior for non-verify prompts
+    assert client.generate("hello there") == "world"
+
+
 def test_llm_entity_stage_actor_and_degradation():
     batch = pa.table({"unit_id": ["u1", "u2"], "lang": ["txt", "txt"],
                       "text": ["Gandalf spoke.", "Rain fell."]})
