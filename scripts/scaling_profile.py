@@ -26,7 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import run_child  # noqa: E402
 
 SF_DIR = os.environ.get("GRAFT_SCALING_SF_DIR", "/tmp/raykg_scaling/sf4")
-LO, HI = 8, 32
+LO = int(os.environ.get("GRAFT_SCALING_LO", "8"))
+HI = int(os.environ.get("GRAFT_SCALING_HI", "32"))
 PAIRS = 3
 COOLDOWN = 30
 
@@ -79,26 +80,30 @@ def main():
     thr_lo = statistics.median(r["triples_per_sec"] for r in legs[LO])
     thr_hi = statistics.median(r["triples_per_sec"] for r in legs[HI])
     eff = statistics.median(pair_effs)
-    # saturation point: one mid-size leg — if throughput at 16 is close to
-    # 32, the all-to-all stages have hit the single-box memory-bus ceiling
-    mid = run_child(16, SF_DIR)
+    # saturation point: one mid-size (2×LO) leg — if throughput there is
+    # close to the HI legs, the all-to-all stages have hit the single-box
+    # memory-bus ceiling
+    mid_cpu = LO * 2
+    mid = run_child(mid_cpu, SF_DIR)
 
     walls_lo, walls_hi = stage_walls(LO), stage_walls(HI)
     stages = {
-        s: {"sec_8": walls_lo.get(s), "sec_32": walls_hi.get(s),
+        s: {f"sec_{LO}": walls_lo.get(s), f"sec_{HI}": walls_hi.get(s),
             "speedup": (round(walls_lo[s] / walls_hi[s], 2)
                         if walls_hi.get(s) and walls_lo.get(s) else None)}
         for s in sorted(set(walls_lo) | set(walls_hi))}
 
     out = {
         "sf_dir": SF_DIR,
-        "legs_sec_8": [r["value"] for r in legs[LO]],
-        "legs_sec_32": [r["value"] for r in legs[HI]],
-        "legs_tps_8": [r["triples_per_sec"] for r in legs[LO]],
-        "legs_tps_32": [r["triples_per_sec"] for r in legs[HI]],
-        "median_tps_8": thr_lo,
-        "median_tps_32": thr_hi,
-        "tps_16_saturation_leg": mid["triples_per_sec"],
+        "cpus_lo": LO,
+        "cpus_hi": HI,
+        f"legs_sec_{LO}": [r["value"] for r in legs[LO]],
+        f"legs_sec_{HI}": [r["value"] for r in legs[HI]],
+        f"legs_tps_{LO}": [r["triples_per_sec"] for r in legs[LO]],
+        f"legs_tps_{HI}": [r["triples_per_sec"] for r in legs[HI]],
+        f"median_tps_{LO}": thr_lo,
+        f"median_tps_{HI}": thr_hi,
+        f"tps_{mid_cpu}_saturation_leg": mid["triples_per_sec"],
         "pair_efficiencies": pair_effs,
         "scaling_efficiency": round(eff, 3),
         "stages": stages,
