@@ -149,6 +149,23 @@ def test_cli_extract_test_offline():
     assert "PERSON" in r.output
 
 
+def test_show_honors_out_for_dataframe_and_table(tmp_path):
+    """--out must write parquet for pandas/pyarrow results too, not just
+    ray Datasets (advisory fix): the fallback writes via pyarrow."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    from raykg import cli
+    df = pd.DataFrame({"a": [1, 2], "b": ["x", "y"]})
+    out1 = str(tmp_path / "df_out")
+    cli._show(df, limit=None, out=out1)
+    assert pads.dataset(out1).to_table().num_rows == 2
+    out2 = str(tmp_path / "tbl_out")
+    cli._show(pa.table({"a": [3]}), limit=None, out=out2)
+    assert pads.dataset(out2).to_table().num_rows == 1
+
+
 def test_cli_lore_check_single_claim():
     from click.testing import CliRunner
 
