@@ -76,9 +76,13 @@ def components_driver(edges_ds: rd.Dataset) -> dict[str, str]:
 
 
 def _min_rep_partial(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch combiner: min rep per (node, is_old) — keeps the single
+    old-label row distinguishable from candidate rows (dtype-neutral: the
+    flag is int64 regardless of the label domain)."""
     import polars as pl
-    return (pl.from_pandas(df[["node", "rep"]])
-            .group_by("node").agg(rep=pl.col("rep").min()).to_pandas())
+    return (pl.from_pandas(df[["node", "rep", "is_old"]])
+            .group_by(["node", "is_old"]).agg(rep=pl.col("rep").min())
+            .to_pandas())
 
 
 def components_distributed(edges_ds: rd.Dataset, max_iter: int = 20,
@@ -90,9 +94,13 @@ def components_distributed(edges_ds: rd.Dataset, max_iter: int = 20,
     labels) — computed on the bucketed hashagg primitives (per-batch
     polars combiner → bucket shuffle → vectorized per-bucket final), so
     per-round cost is O(edges) vectorized work with no per-node Python
-    callbacks.  Converges in O(component diameter) rounds; ``strict``
-    raises if ``max_iter`` rounds still changed labels (silent partial
-    clustering is never returned)."""
+    callbacks.  The convergence check rides INSIDE the same aggregation:
+    the old label flows through as ``old_rep`` and the per-round changed
+    count is a cheap column sum over the new label table — no extra
+    new-vs-old hash join per round (2 shuffles/round, was 3).  Converges
+    in O(component diameter) rounds; ``strict`` raises if ``max_iter``
+    rounds still changed labels (silent partial clustering is never
+    returned)."""
     import logging
 
     from raykg.functions import hashagg
@@ -119,21 +127,33 @@ def components_distributed(edges_ds: rd.Dataset, max_iter: int = 20,
                 lambda df: df.rename(columns={"node": "nbr"}),
                 batch_format="pandas"),
             on=("nbr",), num_partitions=num_partitions)
+        # candidate rows flagged 0; the labels side flagged 1 (exactly one
+        # is_old=1 row per node — every node appears in labels)
         cand = nbr_lab.map_batches(
-            lambda df: df[["node", "rep"]], batch_format="pandas")
+            lambda df: df[["node", "rep"]].assign(is_old=0),
+            batch_format="pandas")
+        old = labels.map_batches(
+            lambda df: df[["node", "rep"]].assign(is_old=1),
+            batch_format="pandas")
+
+        def final_min(df: pd.DataFrame) -> pd.DataFrame:
+            import polars as pl
+            g = (pl.from_pandas(df[["node", "rep", "is_old"]])
+                 .group_by("node")
+                 .agg(rep=pl.col("rep").min(),
+                      old_rep=pl.col("rep").filter(
+                          pl.col("is_old") == 1).min())
+                 .with_columns(
+                     (pl.col("rep") != pl.col("old_rep"))
+                     .cast(pl.Int64).alias("changed")))
+            return g.select(["node", "rep", "changed"]).to_pandas()
+
         new_labels = hashagg.grouped_apply(
-            cand.union(labels), ["node"], _min_rep_partial,
+            cand.union(old), ["node"], final_min,
             _min_rep_partial, coalesce=num_partitions).materialize()
-        # convergence check: any change? (vectorized join compare)
-        joined = new_labels.join(labels, join_type="inner",
-                                 num_partitions=num_partitions,
-                                 on=("node",), right_suffix="_old")
-        # (terminal join — consumed only by a map+sum, no coalesce needed)
-        changed = joined.map_batches(
-            lambda df: pd.DataFrame(
-                {"c": [int((df["rep"] != df["rep_old"]).sum())]}),
-            batch_format="pandas").sum("c")
-        labels = new_labels
+        changed = int(new_labels.sum("changed") or 0)
+        labels = new_labels.map_batches(
+            lambda df: df[["node", "rep"]], batch_format="pandas")
         if not changed:
             return labels
     msg = (f"components_distributed did not converge within {max_iter} "
