@@ -105,6 +105,25 @@ def langid_batch(t: pa.Table) -> pa.Table:
     })
 
 
+def curation_features_batch(t: pa.Table) -> pa.Table:
+    """ONE vectorized pass computing every per-doc curation feature the
+    corpus_curation pipeline filters on: quality score, marker-word
+    language ID, BPE-ish token count, exact md5 fingerprint.  Composes
+    the four single-purpose kernels on the same in-memory batch — no
+    joins, no re-reads."""
+    q = quality_batch(t)
+    lg = langid_batch(t)
+    tok = token_counts_batch(t)
+    fp = fingerprint_batch(t)
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "quality_score": q["quality_score"],
+        "pred_lang": lg["pred_lang"],
+        "n_bpe_tokens": tok["n_bpe_tokens"],
+        "text_md5": fp["text_md5"],
+    })
+
+
 def fingerprint_batch(t: pa.Table) -> pa.Table:
     """Document fingerprints: md5 of whitespace-normalized lowercase text
     (exact) + min-hash over word SHINGLE_K-shingles (winnowing-style)."""

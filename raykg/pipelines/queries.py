@@ -763,6 +763,50 @@ def q_dedup_clusters(sf_dir: str):
     return joined.map_batches(finish, batch_format="pandas")
 
 
+CURATION_MIN_QUALITY = 0.5
+CURATION_LANG = "en"
+
+
+def q_corpus_curation(sf_dir: str):
+    """Composite training-data CURATION pipeline — the chain a
+    pretraining-corpus pass runs end-to-end, each step distributed:
+
+    1. per-doc features in ONE vectorized pass (quality score, marker-word
+       language ID, BPE-ish token count, exact md5 fingerprint —
+       :func:`raykg.ops.textstats.curation_features_batch`);
+    2. quality floor (score ≥ 0.5) and language filter (pred_lang = 'en');
+    3. exact-duplicate removal among survivors (min doc_id per text_md5,
+       bucketed first_by — never a global sort);
+    4. near-duplicate removal: keep only documents that are their Jaccard
+       component's representative (clusters computed corpus-wide by
+       q_dedup_clusters; a survivor whose representative was filtered
+       upstream is still dropped — deterministic, documented semantics).
+
+    Output = the curated-corpus manifest (doc_id, pred_lang,
+    quality_score, n_bpe_tokens), i.e. what you'd feed the tokenizer."""
+    from raykg.functions import hashagg
+    from raykg.ops import textstats as ts
+
+    feats = _docs_ds(sf_dir).map_batches(ts.curation_features_batch,
+                                         batch_format="pyarrow")
+    kept = feats.map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater_equal(t["quality_score"], CURATION_MIN_QUALITY),
+            pc.equal(t["pred_lang"], CURATION_LANG))),
+        batch_format="pyarrow")
+    exact = hashagg.first_by(kept, ["text_md5"], ["doc_id"])
+    canon = q_dedup_clusters(sf_dir).map_batches(
+        lambda df: df.loc[df["is_canonical"], ["doc_id"]],
+        batch_format="pandas")
+    out = hashagg.coalesced_join(exact.repartition(8), canon,
+                                 on=("doc_id",), join_type="inner",
+                                 num_partitions=8)
+    return out.map_batches(
+        lambda df: df[["doc_id", "pred_lang", "quality_score",
+                       "n_bpe_tokens"]],
+        batch_format="pandas")
+
+
 def q_dedup_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup (scale path; no SQL oracle — rows-only check).
     Bands → bucket groupby → candidate pairs → dedupe → exact-Jaccard
@@ -3100,22 +3144,25 @@ SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
           ELSE 0 END) AS quality_score
 FROM q"""
 
+    _langs = sorted(ts.LANG_MARKERS)
+    _lang_score_cols = ",\n  ".join(
+        "len(list_filter(words, w -> lower(w) IN ({m}))) AS s_{lg}".format(
+            m=", ".join(f"'{x}'" for x in ts.LANG_MARKERS[lg]), lg=lg)
+        for lg in _langs)
+    _lang_greatest = ("greatest(" + ", ".join(f"s_{lg}" for lg in _langs)
+                      + ")")
+    _lang_case = "CASE " + " ".join(
+        f"WHEN s_{lg} = {_lang_greatest} THEN '{lg}'"
+        for lg in _langs) + " END"
+
     if name == "doc_langid":
-        langs = sorted(ts.LANG_MARKERS)
-        score_cols = ",\n  ".join(
-            "len(list_filter(words, w -> lower(w) IN ({m}))) AS s_{lg}".format(
-                m=", ".join(f"'{x}'" for x in ts.LANG_MARKERS[lg]), lg=lg)
-            for lg in langs)
-        greatest = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
-        case = "CASE " + " ".join(
-            f"WHEN s_{lg} = {greatest} THEN '{lg}'" for lg in langs) + " END"
         return f"""
 WITH q AS (
   SELECT doc_id, regexp_extract_all(text, '{ts.WORD_PATTERN}') AS words
   FROM documents
-), s AS (SELECT doc_id, {score_cols} FROM q)
-SELECT doc_id, {case} AS pred_lang,
-       CAST({greatest} AS BIGINT) AS marker_hits
+), s AS (SELECT doc_id, {_lang_score_cols} FROM q)
+SELECT doc_id, {_lang_case} AS pred_lang,
+       CAST({_lang_greatest} AS BIGINT) AS marker_hits
 FROM s"""
 
     if name == "doc_fingerprint":
@@ -3188,6 +3235,52 @@ jlabels AS (SELECT node, min(lab) AS rep FROM reach GROUP BY 1)
 SELECT d.doc_id, coalesce(l.rep, d.doc_id) AS cluster_rep,
        d.doc_id = coalesce(l.rep, d.doc_id) AS is_canonical
 FROM documents d LEFT JOIN jlabels l ON l.node = d.doc_id"""
+
+    if name == "corpus_curation":
+        stop = ", ".join(f"'{x}'" for x in sorted(vocab.STOPWORDS))
+        return f"""WITH RECURSIVE {jacc_cte},
+jedges AS (
+  SELECT doc_a AS a, doc_b AS b FROM jpairs
+  UNION ALL SELECT doc_b, doc_a FROM jpairs
+),
+jnodes AS (SELECT DISTINCT a AS node FROM jedges),
+reach(node, lab) AS (
+  SELECT node, node FROM jnodes
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN jedges e ON e.a = r.node
+),
+jlabels AS (SELECT node, min(lab) AS rep FROM reach GROUP BY 1),
+raw AS (
+  SELECT doc_id,
+    regexp_extract_all(text, '{ts.WORD_PATTERN}') AS words,
+    len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+    length(text) AS n_chars,
+    len(regexp_extract_all(text, '{ts.BPE_PATTERN}')) AS n_bpe_tokens,
+    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_md5
+  FROM documents
+),
+s AS (SELECT doc_id, {_lang_score_cols},
+             words, n_alpha, n_chars, n_bpe_tokens, text_md5 FROM raw),
+feats AS (
+  SELECT doc_id, text_md5, n_bpe_tokens,
+    {_lang_case} AS pred_lang,
+    0.4 * least(1.0, len(words) / 100.0)
+      + 0.3 * (CASE WHEN len(words) > 0 THEN
+          len(list_filter(words, w -> lower(w) IN ({stop})))
+            / CAST(len(words) AS DOUBLE) ELSE 0 END)
+      + 0.3 * (CASE WHEN n_chars > 0 THEN n_alpha / CAST(n_chars AS DOUBLE)
+            ELSE 0 END) AS quality_score
+  FROM s
+),
+kept AS (SELECT * FROM feats
+         WHERE quality_score >= {CURATION_MIN_QUALITY}
+           AND pred_lang = '{CURATION_LANG}'),
+exact AS (SELECT * FROM (
+  SELECT *, row_number() OVER (PARTITION BY text_md5 ORDER BY doc_id) AS rn
+  FROM kept) WHERE rn = 1)
+SELECT e.doc_id, e.pred_lang, e.quality_score, e.n_bpe_tokens
+FROM exact e LEFT JOIN jlabels l ON l.node = e.doc_id
+WHERE coalesce(l.rep, e.doc_id) = e.doc_id"""
 
     if name == "embed_neardup":
         # CAST to DOUBLE[] so DuckDB computes the cosine in float64 like the
@@ -3805,6 +3898,7 @@ QUERY_FNS = {
     "dialogue_spans_all": q_dialogue_spans_all,
     "kg_merge_verify": q_kg_merge_verify,
     "dedup_clusters": q_dedup_clusters,
+    "corpus_curation": q_corpus_curation,
     "kg_merge_candidates": q_kg_merge_candidates,
     "voice_distinctive": q_voice_distinctive,
     "style_unit_metrics": q_style_unit_metrics,
