@@ -464,17 +464,31 @@ def cogroup_apply(sources, keys: Sequence[str],
     return _finish(mapped, per_bucket, coalesce, num_buckets)
 
 
+def arrow_clean(ds: rd.Dataset) -> rd.Dataset:
+    """Convert blocks to Arrow and strip schema-level key-value metadata.
+
+    Pandas blocks entering a hash shuffle (join aggregators) are converted
+    with the ``pandas`` metadata dict attached, which makes ``pa.Schema``
+    unhashable and logs "Failed to hash the schemas" from worker processes
+    the driver-side log filter can't reach.  This map fuses into the
+    upstream task stage — metadata-only, zero-copy."""
+    return ds.map_batches(lambda t: t.replace_schema_metadata(None),
+                          batch_format="pyarrow")
+
+
 def coalesced_join(left: rd.Dataset, right: rd.Dataset, on,
                    join_type: str = "inner",
                    num_partitions: int = 8) -> rd.Dataset:
-    """``Dataset.join`` + repartition of the output.
+    """``Dataset.join`` + metadata-clean inputs + repartition of the output.
 
     Ray 2.49's hash join emits EMPTY blocks with no schema
     (``PandasBlockSchema(names=[])``) for empty partitions; any downstream
     join / shuffle consuming them dies with ``ArrowInvalid: No match or
     multiple matches for key field``.  Repartitioning merges the empties
     into schema-bearing blocks.  Use this for every join whose output
-    feeds another join or aggregation."""
-    out = left.join(right, join_type=join_type,
-                    num_partitions=num_partitions, on=on)
+    feeds another join or aggregation.  Inputs pass through
+    :func:`arrow_clean` so pandas blocks never reach the join aggregators
+    with unhashable dict metadata."""
+    out = arrow_clean(left).join(arrow_clean(right), join_type=join_type,
+                                 num_partitions=num_partitions, on=on)
     return out.repartition(max(2, num_partitions // 2))

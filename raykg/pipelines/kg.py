@@ -557,7 +557,7 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
             typed = (hashagg.coalesced_join(merged, nodes_s, on=("subj",),
                                             join_type="left_outer",
                                             num_partitions=max(8, _ncpu()))
-                     .join(nodes_o, join_type="left_outer",
+                     .join(hashagg.arrow_clean(nodes_o), join_type="left_outer",
                            num_partitions=max(8, _ncpu()), on=("obj",))
                      .map_batches(finish, batch_format="pandas"))
 

@@ -610,7 +610,8 @@ def q_dedup_exact(sf_dir: str):
         ["text_md5"], per_hash, partial)
 
 
-def _verify_pairs_by_join(pairs, docs):
+def _verify_pairs_by_join(pairs, docs, shingle_sets=None,
+                          small_gate: int | None = None):
     """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs —
     SIZE-GATED, never a whole-corpus broadcast.  Shared by the jaccard and
     minhash near-dup paths.
@@ -619,7 +620,19 @@ def _verify_pairs_by_join(pairs, docs):
     hard): semi-join, i.e. broadcast the candidate doc-id SET, filter the
     corpus to only candidate docs (distributed scan), and broadcast just
     those texts to the verify map — two map-only passes, zero shuffle.
-    Large candidate sets: two bucketed hash joins of texts onto pairs."""
+
+    Large candidate sets with ``shingle_sets`` (a Dataset of (doc_id,
+    shingles:list<int64>, n) — the jaccard path already owns it):
+    broadcast the compact hashed-shingle sets (~0.5 KB/doc) and verify by
+    sorted-array intersection — the re-tokenize-per-pair text path
+    measured 71 s for 4.1M candidates at sf0.1 where this takes ~3 s.
+    Ray's hash join can't carry list columns as payload, hence broadcast
+    rather than a sets join; gated at 200k docs (~100 MB), beyond which
+    the text-join fallback below applies (at that scale MinHash+LSH is
+    the designated near-dup path anyway).
+
+    Fallback for large candidate sets: two bucketed hash joins of texts
+    onto pairs."""
     from raykg.functions import hashagg as _ha
     from raykg.ops import dedup as dd
     from raykg.pipelines.kg import BROADCAST_MAX_ROWS
@@ -634,8 +647,11 @@ def _verify_pairs_by_join(pairs, docs):
         return out[out["jaccard"] >= dd.JACCARD_THRESHOLD]
 
     # gate on the BROADCAST PAYLOAD (candidate texts ≈ 2·pairs docs), far
-    # below the generic row gate — text payloads are ~1 KB/doc, not 100 B
-    if n_pairs <= min(50_000, BROADCAST_MAX_ROWS // 4):
+    # below the generic row gate — text payloads are ~1 KB/doc, not 100 B.
+    # ``small_gate`` overrides for tests pinning branch equivalence.
+    if small_gate is None:
+        small_gate = min(50_000, BROADCAST_MAX_ROWS // 4)
+    if n_pairs <= small_gate:
         import numpy as np
         import ray as _ray
         from raykg.functions.broadcast import get_cached
@@ -662,13 +678,44 @@ def _verify_pairs_by_join(pairs, docs):
         return rd.from_pandas(id_tbl).map_batches(verify_bcast,
                                                   batch_format="pandas")
 
+    if shingle_sets is not None:
+        sets_pdf = shingle_sets.to_pandas()
+        if len(sets_pdf) <= 200_000:
+            import numpy as np
+            import ray as _ray
+            from raykg.functions.broadcast import get_cached
+            sets_ref = _ray.put({
+                int(d): np.sort(np.asarray(s, dtype=np.int64))
+                for d, s in zip(sets_pdf["doc_id"], sets_pdf["shingles"])})
+
+            def verify_sets(df: pd.DataFrame) -> pd.DataFrame:
+                sets = get_cached(sets_ref)
+                out_a, out_b, out_j = [], [], []
+                for a, b in zip(df["doc_a"], df["doc_b"]):
+                    sa, sb = sets[int(a)], sets[int(b)]
+                    inter = int(np.intersect1d(
+                        sa, sb, assume_unique=True).size)
+                    j = round(inter / (sa.size + sb.size - inter), 6)
+                    if j >= dd.JACCARD_THRESHOLD:
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_j.append(j)
+                return pd.DataFrame({
+                    "doc_a": pd.Series(out_a, dtype="int64"),
+                    "doc_b": pd.Series(out_b, dtype="int64"),
+                    "jaccard": pd.Series(out_j, dtype="float64")})
+
+            return pairs.map_batches(verify_sets, batch_format="pandas",
+                                     batch_size=65_536)
+
     pairs = _ha.distinct(pairs, ["doc_a", "doc_b"], coalesce=8)
     ta = docs.map_batches(lambda df: df.rename(
         columns={"doc_id": "doc_a", "text": "text_a"}), batch_format="pandas")
     tb = docs.map_batches(lambda df: df.rename(
         columns={"doc_id": "doc_b", "text": "text_b"}), batch_format="pandas")
     return (_ha.coalesced_join(pairs, ta, on=("doc_a",))
-            .join(tb, join_type="inner", num_partitions=8, on=("doc_b",))
+            .join(_ha.arrow_clean(tb), join_type="inner",
+                  num_partitions=8, on=("doc_b",))
             .map_batches(verify, batch_format="pandas")
             .select_columns(["doc_a", "doc_b", "jaccard"]))
 
@@ -718,7 +765,29 @@ def q_dedup_jaccard_pairs(sf_dir: str):
                 .rename(columns={"doc_id": "doc_a"})[["doc_a", "doc_b"]],
                 batch_format="pandas"))
     cand = hashagg.distinct(cand, ["doc_a", "doc_b"], coalesce=8)
-    return _verify_pairs_by_join(cand, docs)
+
+    def to_sets(df: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+        return (pl.from_pandas(df).group_by("doc_id")
+                .agg(shingles=pl.col("shingle"), n=pl.col("n").first())
+                .to_pandas())
+
+    sets = hashagg.grouped_apply(sh, ["doc_id"], to_sets, coalesce=8)
+    out = _verify_pairs_by_join(cand, docs, shingle_sets=sets).materialize()
+    _JACC_PAIRS_CACHE[sf_dir] = out
+    return out
+
+
+# verified-pair table, session-cached: q_dedup_clusters and
+# q_corpus_curation chain on the SAME pair set q_dedup_jaccard_pairs
+# produces — recomputing the candidate join per chained query is waste
+_JACC_PAIRS_CACHE: dict[str, "rd.Dataset"] = {}
+
+
+def _jacc_pairs_ds(sf_dir: str):
+    if sf_dir not in _JACC_PAIRS_CACHE:
+        q_dedup_jaccard_pairs(sf_dir)       # fills the cache
+    return _JACC_PAIRS_CACHE[sf_dir]
 
 
 def q_dedup_clusters(sf_dir: str):
@@ -737,7 +806,7 @@ def q_dedup_clusters(sf_dir: str):
     from raykg.functions import hashagg
     from raykg.stages import components as comp
 
-    pairs = q_dedup_jaccard_pairs(sf_dir).map_batches(
+    pairs = _jacc_pairs_ds(sf_dir).map_batches(
         lambda df: df.rename(columns={"doc_a": "u", "doc_b": "v"})
         [["u", "v"]], batch_format="pandas").materialize()   # small: verified pairs
     docs = _docs_ds(sf_dir).map_batches(
@@ -1048,8 +1117,8 @@ def q_kg_merge_candidates(sf_dir: str):
     return (hashagg.coalesced_join(q_kg_cooccurrence(sf_dir), side("a"),
                                    on=("entity_a",),
                                    join_type="left_outer")
-            .join(side("b"), join_type="left_outer", num_partitions=8,
-                  on=("entity_b",))
+            .join(hashagg.arrow_clean(side("b")), join_type="left_outer",
+                  num_partitions=8, on=("entity_b",))
             .map_batches(decide, batch_format="pandas"))
 
 

@@ -107,3 +107,51 @@ def test_resize_stub():
     import pytest
     with pytest.raises(NotImplementedError):
         mm.resize_stub(0, 10)
+
+
+def test_verify_pairs_branches_agree(ray_session):
+    """The three _verify_pairs_by_join branches (broadcast texts /
+    broadcast hashed-shingle sets / text hash-join) produce identical
+    verified pairs — pinned by forcing each branch with small_gate."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raykg.functions import hashagg
+    from raykg.ops import dedup as dd
+    from raykg.pipelines import queries as Q
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the quiet green hills tonight")
+    docs_pdf = pd.DataFrame({
+        "doc_id": pd.Series(range(6), dtype="int64"),
+        "text": [base, base + " again", base.replace("quick", "slow"),
+                 "completely different words occupy this one document "
+                 "with nothing shared at all between any of them here",
+                 base, base.replace("dog and", "dog but")],
+    })
+    docs = rd.from_pandas(docs_pdf)
+    pairs = rd.from_pandas(pd.DataFrame({
+        "doc_a": pd.Series([0, 0, 0, 0, 4], dtype="int64"),
+        "doc_b": pd.Series([1, 2, 3, 4, 5], dtype="int64")}))
+    sh = docs.map_batches(dd.shingle_explode64_batch,
+                          batch_format="pyarrow")
+
+    def to_sets(df):
+        import polars as pl
+        return (pl.from_pandas(df).group_by("doc_id")
+                .agg(shingles=pl.col("shingle"), n=pl.col("n").first())
+                .to_pandas())
+
+    sets = hashagg.grouped_apply(sh, ["doc_id"], to_sets, coalesce=2)
+
+    def run(**kw):
+        return (Q._verify_pairs_by_join(pairs, docs, **kw).to_pandas()
+                .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+
+    bcast_texts = run()                                  # small path
+    bcast_sets = run(shingle_sets=sets, small_gate=0)    # sets path
+    text_join = run(small_gate=0)                        # join fallback
+    assert len(bcast_texts) > 0                          # non-vacuous
+    pd.testing.assert_frame_equal(bcast_texts, bcast_sets)
+    pd.testing.assert_frame_equal(
+        bcast_texts, text_join[bcast_texts.columns])
