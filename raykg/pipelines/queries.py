@@ -738,7 +738,11 @@ def q_dedup_jaccard_pairs(sf_dir: str):
     from raykg.ops import dedup as dd
 
     docs = _docs_ds(sf_dir)
-    sh = docs.map_batches(dd.shingle_explode64_batch, batch_format="pyarrow")
+    # materialized ONCE: three consumers (df table, prefix build, verify
+    # sets) would otherwise each re-run the explode+hash pass.  Shingle
+    # rows are ~8 B/key × ~50/doc — object-store-resident, spills if needed
+    sh = docs.map_batches(dd.shingle_explode64_batch,
+                          batch_format="pyarrow").materialize()
 
     # global doc-frequency per shingle (sh is distinct per doc) → join back
     # (a join, not a broadcast: the shingle vocabulary grows with the corpus)
