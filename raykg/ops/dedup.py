@@ -95,12 +95,30 @@ def prefix_rows_group(g: pd.DataFrame,
     """Per-doc prefix selection for MANY docs at once (vectorized — runs
     inside a hashagg bucket): per doc, keep the L globally-rarest shingles
     (ties broken by shingle hash for determinism).  Hot shingles ("of the")
-    have high document frequency → sort last → almost never join keys."""
+    have high document frequency → sort last → almost never join keys.
+
+    ``pos`` = the shingle's rank in the doc's CANONICAL order (global df
+    asc, shingle asc — the same total order for every doc), carried for
+    the PPJoin positional filter downstream: a pair with Jaccard ≥ t has
+    overlap o ≥ ⌈t/(1+t)·(na+nb)⌉, and its FIRST common shingle (which
+    provably lies inside both prefixes) leaves ≥ o shingles at positions
+    ≥ pos in both docs → min(na−pos_a, nb−pos_b) ≥ o — a lossless
+    candidate cut (Xiao et al., PPJoin)."""
     g = g.sort_values(["doc_id", "df", "shingle"], kind="mergesort")
     rank = g.groupby("doc_id", sort=False).cumcount()
     lens = (g["n"] - np.ceil(threshold * g["n"]).astype("int64") + 1).clip(
         lower=1)
-    return g[rank < lens][["doc_id", "shingle", "n"]]
+    g = g.assign(pos=rank.astype("int64"))
+    return g[rank < lens][["doc_id", "shingle", "n", "pos"]]
+
+
+def min_overlap(s: "np.ndarray | int", threshold: float = JACCARD_THRESHOLD):
+    """⌈t/(1+t) · s⌉ with EXACT integer arithmetic (float ceil drifts on
+    exact multiples); s = na + nb."""
+    from fractions import Fraction
+    fr = Fraction(str(threshold))
+    num, den = fr.numerator, fr.denominator
+    return -(-(num * s) // (num + den))
 
 
 def _minhash_perm_params(perms: int) -> tuple[np.ndarray, np.ndarray]:

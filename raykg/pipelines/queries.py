@@ -757,17 +757,27 @@ def q_dedup_jaccard_pairs(sf_dir: str):
         ["doc_id"], dd.prefix_rows_group, coalesce=16).materialize()
 
     right = prefixes.map_batches(
-        lambda df: df.rename(columns={"doc_id": "doc_b", "n": "nb"}),
+        lambda df: df.rename(columns={"doc_id": "doc_b", "n": "nb",
+                                      "pos": "pos_b"}),
         batch_format="pandas")
+
+    def _cand_filter(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        # size-compat + PPJoin positional filter (both lossless; see
+        # dedup.prefix_rows_group): a true pair's first shared shingle
+        # must leave ≥ min_overlap shingles after its position in BOTH
+        # docs — the prefix-tail matches this prunes never reach t
+        keep = ((df["doc_id"] < df["doc_b"])
+                & (df[["n", "nb"]].max(axis=1) * dd.JACCARD_THRESHOLD
+                   <= df[["n", "nb"]].min(axis=1))
+                & (np.minimum(df["n"] - df["pos"], df["nb"] - df["pos_b"])
+                   >= dd.min_overlap((df["n"] + df["nb"]).to_numpy())))
+        return df[keep].rename(
+            columns={"doc_id": "doc_a"})[["doc_a", "doc_b"]]
+
     cand = (hashagg.coalesced_join(prefixes, right, on=("shingle",),
                                    num_partitions=16)
-            .map_batches(
-                lambda df: df[(df["doc_id"] < df["doc_b"])
-                              & (df[["n", "nb"]].max(axis=1)
-                                 * dd.JACCARD_THRESHOLD
-                                 <= df[["n", "nb"]].min(axis=1))]
-                .rename(columns={"doc_id": "doc_a"})[["doc_a", "doc_b"]],
-                batch_format="pandas"))
+            .map_batches(_cand_filter, batch_format="pandas"))
     cand = hashagg.distinct(cand, ["doc_a", "doc_b"], coalesce=8)
 
     def to_sets(df: pd.DataFrame) -> pd.DataFrame:
