@@ -179,3 +179,38 @@ def test_fuzzy_links_recover_dropped_char(ray_session):
     for _, r in out.iterrows():
         assert 0.85 <= r["score"] < 1.0
         assert typo_to_seed[r["mention_text"].lower()] == r["entity_id"]
+
+
+def test_dedup_clusters_and_curation_invariants(ray_session):
+    """Engine-level invariants of the clustering/curation chain at
+    sf0.001 (the oracle pins exact values; these pin SEMANTICS against
+    future refactors): every doc labeled exactly once, representatives
+    are component minima and self-canonical, curated docs are unique by
+    content, pass the filters, and are cluster representatives."""
+    from raykg.pipelines import queries as Q
+    sf = "/root/testdata/sf0.001"
+    clusters = Q.q_dedup_clusters(sf).to_pandas()
+    docs = Q._docs_ds(sf).to_pandas()
+    assert sorted(clusters["doc_id"]) == sorted(docs["doc_id"])
+    assert clusters["doc_id"].is_unique
+    # a representative is a member of its own cluster and canonical
+    reps = set(clusters["cluster_rep"])
+    assert reps <= set(clusters["doc_id"])
+    canon = clusters[clusters["is_canonical"]]
+    assert set(canon["doc_id"]) == reps
+    assert (canon["doc_id"] == canon["cluster_rep"]).all()
+    # rep = min doc_id within each cluster
+    assert (clusters.groupby("cluster_rep")["doc_id"].min()
+            .reset_index()
+            .apply(lambda r: r["doc_id"] == r["cluster_rep"], axis=1)
+            .all())
+
+    curated = Q.q_corpus_curation(sf).to_pandas()
+    assert curated["doc_id"].is_unique
+    assert (curated["quality_score"] >= Q.CURATION_MIN_QUALITY).all()
+    assert (curated["pred_lang"] == Q.CURATION_LANG).all()
+    # curated docs are cluster representatives...
+    assert set(curated["doc_id"]) <= reps
+    # ...and unique by exact content
+    texts = docs.set_index("doc_id").loc[curated["doc_id"], "text"]
+    assert texts.nunique() == len(curated)
