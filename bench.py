@@ -124,34 +124,56 @@ def main():
         # parallel work — the regime a real multi-node run lives in
         sf_dir = os.environ.get("GRAFT_SCALING_SF_DIR",
                                 "/tmp/raykg_scaling/sf4")
-        # default pair 4→16 CPUs — the rule's literal "N and 4N", measured
-        # on the half of this box where CPUs (not the one shared memory
-        # bus) are the scaled resource: the r3 doubling curve at sf8 is
-        # 1.12 / 0.88 / 0.73 per doubling (4→8→16→32), i.e. the knee above
-        # 16 cores is the box, not the plan — full analysis and BOTH pairs
-        # (4→16 = 1.03, 8→32 = 0.663) recorded in BASELINE.md.  Override
-        # with GRAFT_SCALING_LO / GRAFT_SCALING_HI.
-        lo = int(os.environ.get("GRAFT_SCALING_LO", "4"))
-        hi = int(os.environ.get("GRAFT_SCALING_HI", "16"))
-        run_child(hi, sf_dir)               # generates corpus + warms cache
-        # sync + cooldown between legs: each leg writes ~GBs of parquet to
-        # /tmp and the next leg's writes stall behind the previous leg's
-        # writeback (measured ~30% inflation of the short 32-CPU legs)
-        os.sync(); time.sleep(30)
-        r_lo = run_child(lo, sf_dir)
-        os.sync(); time.sleep(30)
-        r_hi = run_child(hi, sf_dir)
-        thr_lo = r_lo["triples_per_sec"]
-        thr_hi = r_hi["triples_per_sec"]
-        eff = (thr_hi / thr_lo) / (hi / lo)
-        print(json.dumps({
-            "cpus_lo": lo, "cpus_hi": hi,
-            f"sec_{lo}": r_lo["value"], f"sec_{hi}": r_hi["value"],
-            f"triples_per_sec_{lo}": thr_lo,
-            f"triples_per_sec_{hi}": thr_hi,
-            "scaling_efficiency": round(eff, 3),
-            "sf": r_lo["sf"],
-        }))
+        # DEFAULT: measure BOTH N→4N pairs — 4→16 (the half of this box
+        # where CPUs, not the one shared memory bus, are the scaled
+        # resource) AND 8→32 (which runs into the box's ~16-core
+        # memory-bus knee; the r3 doubling curve at sf8 is
+        # 1.12 / 0.88 / 0.73 per doubling 4→8→16→32).  Reporting only the
+        # favorable pair would select the measurement that passes by
+        # construction (ADVICE r3) — so both are always in the output;
+        # the headline `scaling_efficiency` is the literal-rule 4→16
+        # number, `scaling_efficiency_8_32` sits beside it, and
+        # BASELINE.md carries the full analysis.  Setting
+        # GRAFT_SCALING_LO / GRAFT_SCALING_HI measures just that pair.
+        env_lo, env_hi = (os.environ.get("GRAFT_SCALING_LO"),
+                          os.environ.get("GRAFT_SCALING_HI"))
+        if env_lo or env_hi:
+            pairs = [(int(env_lo or "4"), int(env_hi or "16"))]
+        else:
+            pairs = [(4, 16), (8, 32)]
+        cpu_levels = sorted({c for p in pairs for c in p})
+        run_child(cpu_levels[-1], sf_dir)   # generates corpus + warms cache
+        legs: dict[int, dict] = {}
+        for ncpu in cpu_levels:
+            # sync + cooldown between legs: each leg writes ~GBs of
+            # parquet to /tmp and the next leg's writes stall behind the
+            # previous leg's writeback (measured ~30% inflation of the
+            # short 32-CPU legs)
+            os.sync(); time.sleep(30)
+            legs[ncpu] = run_child(ncpu, sf_dir)
+        out: dict = {"sf": legs[cpu_levels[0]]["sf"], "pairs": []}
+        for lo, hi in pairs:
+            thr_lo = legs[lo]["triples_per_sec"]
+            thr_hi = legs[hi]["triples_per_sec"]
+            eff = round((thr_hi / thr_lo) / (hi / lo), 3)
+            out["pairs"].append({
+                "cpus_lo": lo, "cpus_hi": hi,
+                f"sec_{lo}": legs[lo]["value"],
+                f"sec_{hi}": legs[hi]["value"],
+                f"triples_per_sec_{lo}": thr_lo,
+                f"triples_per_sec_{hi}": thr_hi,
+                "scaling_efficiency": eff,
+            })
+            key = ("scaling_efficiency" if (lo, hi) == pairs[0]
+                   else f"scaling_efficiency_{lo}_{hi}")
+            out[key] = eff
+        for lo, hi in pairs:
+            out.update({f"sec_{lo}": legs[lo]["value"],
+                        f"sec_{hi}": legs[hi]["value"],
+                        f"triples_per_sec_{lo}": legs[lo]["triples_per_sec"],
+                        f"triples_per_sec_{hi}": legs[hi]["triples_per_sec"]})
+        out["cpus_lo"], out["cpus_hi"] = pairs[0]
+        print(json.dumps(out))
     else:
         print(json.dumps(run_bench()))
 

@@ -63,8 +63,12 @@ def _pin_fsspec_http_stub() -> None:
 
         def _missing(name: str):
             # any name besides HTTPFileSystem (e.g. HTTPStreamFile) gets a
-            # truthful error instead of a confusing bare ImportError
-            raise ModuleNotFoundError(
+            # truthful error instead of a confusing bare ImportError.
+            # AttributeError, not ModuleNotFoundError (PEP 562): hasattr()
+            # and getattr(mod, name, default) feature-probes must fall
+            # through gracefully; from-imports still surface this as
+            # ImportError with the message attached.
+            raise AttributeError(
                 "fsspec.implementations.http is a raykg stub (aiohttp is "
                 f"not installed); attribute {name!r} is unavailable")
 

