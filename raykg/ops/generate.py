@@ -318,10 +318,27 @@ class SceneGenerator:
 
 # ------------------------------------------------------- writer.py analog
 
+def scene_sha256(s: Scene) -> str:
+    """Canonical content hash of one scene row — the stub generation path
+    is fully deterministic, so this pins the entire generation loop
+    (context pull, critique loop, judge scoring, degradation contract)
+    against silent drift; tests/test_pipeline.py golden-checks it."""
+    import hashlib
+    key = "\x1f".join([
+        s.id, s.summary, s.text, s.status, ",".join(s.characters),
+        ",".join(s.places), str(s.revision_count),
+        f"{s.scores.overall:.6f}", f"{s.scores.lore_score:.6f}"])
+    return hashlib.sha256(key.encode("utf-8")).hexdigest()
+
+
 def scenes_to_table(scenes: list[Scene]) -> pa.Table:
     """writer.py:114-192 property flattening → one parquet row per
-    scene (lists as comma-joined strings for stable hashing)."""
+    scene (lists as comma-joined strings for stable hashing); the
+    ``content_sha256`` column gives the driver's rows-only check a
+    stable value fingerprint."""
     return pa.table({
+        "content_sha256": pa.array([scene_sha256(s) for s in scenes],
+                                   pa.string()),
         "scene_id": pa.array([s.id for s in scenes], pa.string()),
         "summary": pa.array([s.summary for s in scenes], pa.string()),
         "text": pa.array([s.text for s in scenes], pa.string()),

@@ -993,19 +993,18 @@ def q_ann_topk(sf_dir: str):
 
 
 def q_multimodal_features(sf_dir: str):
-    """Multimodal plumbing: binary payload column → actor-pool decode stage
-    (STUB decoder, deterministic md5-derived output)."""
+    """Multimodal decode: typed binary payload column → actor-pool decode
+    stage.  REAL byte-level decoders for the stdlib-decodable formats —
+    WAV via ``wave``, uncompressed 24-bit BMP via header parse + numpy
+    (payloads synthesized deterministically per doc_id, so the oracle
+    checks that decode exactly inverts encode) — and the labeled
+    FakeDecoder md5 tier for opaque payloads."""
     from raykg.ops import multimodal as mm
     return (_docs_ds(sf_dir)
             .map_batches(mm.to_binary_batch, batch_format="pyarrow")
-            .map_batches(mm.FakeDecoder, batch_format="pyarrow",
+            .map_batches(mm.MediaDecoder, batch_format="pyarrow",
                          batch_size=mm.DECODE_BATCH_SIZE,
-                         concurrency=(1, 4), max_restarts=0)
-            .map_batches(lambda df: df.assign(
-                f0=df["features"].apply(lambda f: f[0]),
-                f1=df["features"].apply(lambda f: f[1]))[
-                ["doc_id", "width", "height", "f0", "f1"]],
-                batch_format="pandas"))
+                         concurrency=(1, 4), max_restarts=0))
 
 
 # --------------------------------------------- breadth operators (SURVEY §2)
@@ -3409,15 +3408,41 @@ SELECT query_id, vec_id, cosine, rank FROM (
 ) WHERE rank <= {sim.TOP_K}"""
 
     if name == "multimodal_features":
-        from raykg.ops import multimodal as mm
-        return f"""
+        # the BMP / WAV payloads are synthesized so their decoded
+        # features are closed forms of doc_id (raykg/ops/multimodal.py
+        # synth_bmp/synth_wav docstrings) — the engine decodes BYTES,
+        # this oracle computes the closed form, so a match proves decode
+        # inverts encode.  Feature values are exact integers (2 × mean),
+        # immune to float-rounding ties.
+        return """
 SELECT doc_id,
-  CAST(1 + ('0x' || substr(md5(text), 1, 8))::UBIGINT % 512 AS BIGINT)
-    AS width,
-  CAST(1 + ('0x' || substr(md5(text), 9, 8))::UBIGINT % 512 AS BIGINT)
-    AS height,
-  round(('0x' || substr(md5(text), 1, 2))::UBIGINT / 255.0, 6) AS f0,
-  round(('0x' || substr(md5(text), 3, 2))::UBIGINT / 255.0, 6) AS f1
+  CASE doc_id % 3 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
+       ELSE 'application/octet-stream' END AS media_type,
+  CAST(CASE doc_id % 3
+    WHEN 0 THEN 4 + doc_id % 13
+    WHEN 1 THEN 8000
+    ELSE 1 + ('0x' || substr(md5(text), 1, 8))::UBIGINT % 512
+  END AS BIGINT) AS width,
+  CAST(CASE doc_id % 3
+    WHEN 0 THEN 3 + (doc_id // 7) % 11
+    WHEN 1 THEN 64 + doc_id % 128
+    ELSE 1 + ('0x' || substr(md5(text), 9, 8))::UBIGINT % 512
+  END AS BIGINT) AS height,
+  CASE doc_id % 3
+    WHEN 0 THEN CAST(2 * (doc_id % 128)
+                     + (4 + doc_id % 13) + (3 + (doc_id // 7) % 11) - 2
+                     AS DOUBLE)
+    WHEN 1 THEN CAST(2 * (doc_id % 256) + (64 + doc_id % 128) - 1
+                     AS DOUBLE)
+    ELSE round(('0x' || substr(md5(text), 1, 2))::UBIGINT / 255.0, 6)
+  END AS f0,
+  CASE doc_id % 3
+    WHEN 0 THEN CAST(2 * ((3 * doc_id) % 128)
+                     + (4 + doc_id % 13) + (3 + (doc_id // 7) % 11) - 2
+                     AS DOUBLE)
+    WHEN 1 THEN CAST((doc_id % 256) + (64 + doc_id % 128) - 1 AS DOUBLE)
+    ELSE round(('0x' || substr(md5(text), 3, 2))::UBIGINT / 255.0, 6)
+  END AS f1
 FROM documents"""
 
     # ---- breadth operators ----

@@ -88,6 +88,11 @@ def _min_rep_partial(df: pd.DataFrame) -> pd.DataFrame:
             .to_pandas())
 
 
+# first round whose join includes the pointer-doubling edges (1-indexed):
+# shallow graphs converge before this and never pay for doubling
+DOUBLE_FROM = 6
+
+
 def _default_partitions() -> int:
     """Size the per-round exchange to the cluster's CPU budget (the
     flagship pipeline's sizing rule) instead of a constant — a constant
@@ -113,10 +118,19 @@ def components_distributed(edges_ds: rd.Dataset, max_iter: int = 30,
     additional shuffles.  Label reach then doubles every round
     (reach(k+1) = max(2·reach(k), reach(k)+1)), making convergence
     O(log diameter) rounds instead of O(diameter) — a transitive chain
-    component of length d converges in ~log2(d)+2 rounds, so
-    ``max_iter=30`` covers diameters up to ~2^28.  (Doubling is sound
+    component of length d converges in ~log2(d) rounds, so
+    ``max_iter=30`` covers diameters beyond 10^7.  (Doubling is sound
     because labels are monotone non-increasing with labels[x] <= x, the
     min-propagation invariant.)
+
+    The pointer edges only engage from round ``DOUBLE_FROM`` on: real
+    near-dup graphs are overwhelmingly shallow (pairs, stars, short
+    paths — diameter ≤ 4), and for them plain propagation already
+    converges before that, so the common case pays ZERO doubling
+    overhead (the 1M-edge bench is unchanged); only a graph that has
+    proven deep — still unconverged after ``DOUBLE_FROM - 1`` plain
+    rounds — pays the ~1.75× heavier doubling rounds, and then reach
+    grows geometrically from reach ``DOUBLE_FROM - 1``.
 
     The work per round stays on the bucketed hashagg primitives
     (per-batch polars combiner → bucket shuffle → vectorized per-bucket
@@ -146,19 +160,22 @@ def components_distributed(edges_ds: rd.Dataset, max_iter: int = 30,
         lambda df: df.assign(rep=df["node"]),
         batch_format="pandas").materialize()
 
-    for _ in range(max_iter):
-        # pointer-doubling edges (node → current rep): riding the SAME
-        # join below, their looked-up "neighbor" label is
-        # labels[labels[node]].  Self-pointers (already-minimal nodes)
-        # would only re-derive the old label, so they are dropped.
-        ptr = labels.map_batches(
-            lambda df: df.loc[df["rep"] != df["node"],
-                              ["node", "rep"]].rename(
-                                  columns={"rep": "nbr"}),
-            batch_format="pandas")
+    for round_idx in range(1, max_iter + 1):
+        left = sym
+        if round_idx >= DOUBLE_FROM:
+            # pointer-doubling edges (node → current rep): riding the
+            # SAME join below, their looked-up "neighbor" label is
+            # labels[labels[node]].  Self-pointers (already-minimal
+            # nodes) would only re-derive the old label — dropped.
+            ptr = labels.map_batches(
+                lambda df: df.loc[df["rep"] != df["node"],
+                                  ["node", "rep"]].rename(
+                                      columns={"rep": "nbr"}),
+                batch_format="pandas")
+            left = sym.union(ptr)
         # nbr-side labels: join (sym ∪ ptr)(node,nbr) with labels on nbr
         nbr_lab = hashagg.coalesced_join(
-            sym.union(ptr),
+            left,
             labels.map_batches(
                 lambda df: df.rename(columns={"node": "nbr"}),
                 batch_format="pandas"),

@@ -53,8 +53,21 @@ def make_edges(target_edges: int) -> pd.DataFrame:
     return pd.concat(frames, ignore_index=True)
 
 
+def make_chain(n: int):
+    """Single path component of diameter n-1 with the min id at one end —
+    the transitive-chain shape (A≈B≈C≈… templated-doc families) that
+    defeats plain O(diameter) label propagation.  Pointer doubling
+    (components.DOUBLE_FROM onward) converges it in ~log2(n) rounds."""
+    import pandas as pd
+    ids = [f"c{i:07d}" for i in range(n)]
+    return (pd.DataFrame({"u": ids[:-1], "v": ids[1:]})
+            .sample(frac=1.0, random_state=11).reset_index(drop=True))
+
+
 def main() -> None:
-    target = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    chain = "--chain" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    target = int(args[0]) if args else (5_000 if chain else 1_000_000)
     import ray
     if not ray.is_initialized():
         ray.init(address="local",
@@ -66,7 +79,7 @@ def main() -> None:
 
     from raykg.stages import components as comp
 
-    df = make_edges(target)
+    df = make_chain(target) if chain else make_edges(target)
     n_edges = len(df)
     # split into blocks so the pipeline starts parallel (as a real
     # near-dup candidate stage would deliver them)
@@ -89,7 +102,8 @@ def main() -> None:
     assert mismatch == 0, f"{mismatch} label mismatches vs union_find"
 
     print(json.dumps({
-        "metric": "components_1m_sec", "value": round(wall, 2),
+        "metric": ("components_chain_sec" if chain
+                   else "components_1m_sec"), "value": round(wall, 2),
         "unit": "sec", "n_edges": n_edges, "n_nodes": len(got),
         "parity_vs_union_find": "exact",
         "union_find_driver_sec": round(uf_wall, 2),

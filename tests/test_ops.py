@@ -155,3 +155,41 @@ def test_verify_pairs_branches_agree(ray_session):
     pd.testing.assert_frame_equal(bcast_texts, bcast_sets)
     pd.testing.assert_frame_equal(
         bcast_texts, text_join[bcast_texts.columns])
+
+
+def test_bmp_decoder_inverts_encode():
+    """Real BMP decode (header parse + numpy over padded rows) must
+    recover the closed-form dims/means synth_bmp encodes (multimodal.py
+    synth_bmp docstring), across widths that hit every row-padding
+    residue."""
+    for doc_id in range(0, 600, 3):
+        w, h, f0, f1 = mm.MediaDecoder._decode_bmp(mm.synth_bmp(doc_id))
+        ew, eh = 4 + doc_id % 13, 3 + (doc_id // 7) % 11
+        assert (w, h) == (ew, eh)
+        assert f0 == 2 * (doc_id % 128) + ew + eh - 2
+        assert f1 == 2 * ((3 * doc_id) % 128) + ew + eh - 2
+
+
+def test_wav_decoder_inverts_encode():
+    for doc_id in range(1, 600, 3):
+        rate, n, f0, f1 = mm.MediaDecoder._decode_wav(mm.synth_wav(doc_id))
+        en = 64 + doc_id % 128
+        base = doc_id % 256
+        assert (rate, n) == (mm.WAV_RATE, en)
+        assert f0 == 2 * base + en - 1          # 2 x mean of a ramp
+        assert f1 == base + en - 1              # max sample
+
+
+def test_media_decoder_batch_dispatch():
+    """Mixed-media batch: each row decoded by its media_type tier, fake
+    tier md5-consistent with FakeDecoder."""
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": ["a", "b", "hello world"]})
+    out = mm.MediaDecoder()(mm.to_binary_batch(t)).to_pandas()
+    assert list(out["media_type"]) == [mm.MEDIA_BMP, mm.MEDIA_WAV,
+                                       mm.MEDIA_FAKE]
+    assert out["width"].iloc[0] == 4 and out["height"].iloc[0] == 3
+    assert out["width"].iloc[1] == mm.WAV_RATE
+    fw, fh, feats = mm.FakeDecoder._decode_one("hello world".encode())
+    assert (out["width"].iloc[2], out["height"].iloc[2]) == (fw, fh)
+    assert (out["f0"].iloc[2], out["f1"].iloc[2]) == (feats[0], feats[1])

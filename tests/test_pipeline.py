@@ -82,3 +82,24 @@ def test_lineage_manifests(kg_paths):
     assert m["total_rows"] > 0
     assert all(p["rows"] >= 0 for p in m["partitions"])
     assert m["wall_sec"] > 0
+
+
+def test_gen_scenes_golden(kg_paths):
+    """VERDICT r3 item 5: gen_scenes is the only registry query with
+    neither an oracle nor a pin — the stub generation path is fully
+    deterministic (model server absent -> the reference's degradation
+    contract, generate/generator.py:242-252), so pin the whole table by
+    content hash.  Regenerate the constant ONLY after an intentional
+    change to the generator, scorer, or the sf0.001 corpus
+    (GEN_VERSION bump): run q_gen_scenes at sf0.001 and paste the new
+    sha256 of the concatenated content_sha256 column."""
+    import hashlib
+    from raykg.pipelines import queries as Q
+
+    Q._KG_CACHE["/root/testdata/sf0.001"] = kg_paths
+    t = Q.q_gen_scenes("/root/testdata/sf0.001")
+    hashes = t.column("content_sha256").to_pylist()
+    assert len(hashes) == 5
+    table_hash = hashlib.sha256("".join(hashes).encode()).hexdigest()
+    assert table_hash == ("1e09f744eba0678e34b9504924c66b5e"
+                          "bde8f38739441932f6e639cba7158341")
