@@ -73,3 +73,94 @@ def lsh_signs(vecs: np.ndarray, dim: int, planes: int = LSH_PLANES,
     hyper = rng.normal(size=(dim, planes))
     bits = (vecs @ hyper) >= 0
     return (bits @ (1 << np.arange(planes))).astype(np.int64)
+
+
+# Multi-table multiprobe LSH: a single hyperplane table has recall
+# P(hamming<=r) per neighbor, which collapses on weakly-similar data (the
+# measured single-table recall on the sf0.01 embeddings was 0.10 at
+# top-5 cosine ~0.3).  L independent tables with radius-2 probes push
+# recall to 1 - (1 - p_table)^L — measured 1.00 on the same data
+# (scripts/measure_recall.py; tests assert >= 0.9 every run).
+LSH_TABLES = 8
+LSH_PROBE_RADIUS = 2
+
+
+def lsh_planes_for(n_rows: int) -> int:
+    """Bits per table sized to the corpus: ~64 vectors per bucket keeps
+    per-probe candidate lists O(1) as N grows (at 500 rows -> 8 bits; at
+    1e9 rows -> 24 bits, i.e. buckets stay ~64 wide while the probed
+    fraction of the corpus shrinks as N grows)."""
+    return max(LSH_PLANES, int(np.ceil(np.log2(max(2, n_rows / 64)))))
+
+
+def probe_codes(code: int, planes: int,
+                radius: int = LSH_PROBE_RADIUS) -> set[int]:
+    """All bucket codes within Hamming ``radius`` of ``code`` —
+    1 + k + k(k-1)/2 codes at radius 2 (37 at k=8, 301 at k=24)."""
+    out = {code}
+    for i in range(planes):
+        out.add(code ^ (1 << i))
+    if radius >= 2:
+        for i in range(planes):
+            for j in range(i + 1, planes):
+                out.add(code ^ (1 << i) ^ (1 << j))
+    return out
+
+
+def lsh_plan(qm: np.ndarray, dim: int, n_rows: int
+             ) -> tuple[int, list[dict[int, list[int]]]]:
+    """Driver-side probe plan: per table, bucket code -> query positions
+    probing it.  Size O(n_queries × probes × tables) — broadcast once."""
+    planes = lsh_planes_for(n_rows)
+    tables: list[dict[int, list[int]]] = []
+    for table in range(LSH_TABLES):
+        codes = lsh_signs(qm, dim, planes=planes, seed=LSH_SEED + table)
+        probes: dict[int, list[int]] = {}
+        for qpos, c in enumerate(codes):
+            for b in probe_codes(int(c), planes):
+                probes.setdefault(b, []).append(qpos)
+        tables.append(probes)
+    return planes, tables
+
+
+class LshTopK:
+    """map_batches callable for the multi-table LSH candidate scorer: per
+    batch, union each query's candidates across all L tables (boolean
+    mask — a vector is scored once however many tables surface it), then
+    one matmul per query over only its candidates.  The probe plan is
+    broadcast via ray.put → fetched once per actor."""
+
+    def __init__(self, state_ref):
+        from raykg.functions.broadcast import get_cached
+        self.planes, self.tables, self.q_ids, self.qn, self.dim = \
+            get_cached(state_ref)
+
+    def __call__(self, t: pa.Table) -> pd.DataFrame:
+        ids, vecs = embedding_matrix(t)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        vn = vecs / np.where(norms == 0, 1, norms)
+        nq = len(self.q_ids)
+        cand = np.zeros((nq, len(ids)), dtype=bool)
+        for table, probes in enumerate(self.tables):
+            codes = lsh_signs(vecs, self.dim, planes=self.planes,
+                              seed=LSH_SEED + table)
+            for b in np.unique(codes):
+                qlist = probes.get(int(b))
+                if qlist:
+                    m = codes == b
+                    for qpos in qlist:
+                        cand[qpos] |= m
+        rows = {"query_id": [], "vec_id": [], "cosine": []}
+        for qpos in range(nq):
+            js = np.nonzero(cand[qpos])[0]
+            if js.size == 0:
+                continue
+            sims = self.qn[qpos] @ vn[js].T
+            k = min(TOP_K + 1, js.size)            # +1 to survive self-hit
+            idx = np.argpartition(-sims, k - 1)[:k]
+            for j in idx:
+                rows["query_id"].append(int(self.q_ids[qpos]))
+                rows["vec_id"].append(int(ids[js[j]]))
+                rows["cosine"].append(round(float(sims[j]), SIM_ROUND))
+        return pd.DataFrame(rows).astype({"query_id": "int64",
+                                          "vec_id": "int64"})
