@@ -527,9 +527,8 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
                 df = df.copy()
                 df["subj_type"] = df["subj"].map(tmap).fillna("unknown")
                 df["obj_type"] = df["obj"].map(tmap).fillna("unknown")
-                df["passage_ids"] = df["passage_ids_str"].str.split("\x1f")
                 return df[["subj", "pred", "obj", "subj_type", "obj_type",
-                           "mention_count", "n_units", "passage_ids",
+                           "mention_count", "n_units", "passage_ids_str",
                            "confidence"]]
 
             typed = merged.map_batches(finish, batch_format="pandas")
@@ -549,9 +548,8 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
                 df = df.copy()
                 df["subj_type"] = df["subj_type"].fillna("unknown")
                 df["obj_type"] = df["obj_type"].fillna("unknown")
-                df["passage_ids"] = df["passage_ids_str"].str.split("\x1f")
                 return df[["subj", "pred", "obj", "subj_type", "obj_type",
-                           "mention_count", "n_units", "passage_ids",
+                           "mention_count", "n_units", "passage_ids_str",
                            "confidence"]]
 
             typed = (hashagg.coalesced_join(merged, nodes_s, on=("subj",),
@@ -561,7 +559,19 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
                            num_partitions=max(8, _ncpu()), on=("obj",))
                      .map_batches(finish, batch_format="pandas"))
 
+        # the unit-id payload traverses the final sort exchange as ONE
+        # joined string per triple; the list<string> split happens in a
+        # local map AFTER the sort — list offsets/objects never ride the
+        # all-to-all (VERDICT r3 item 2: shrink exchanged bytes)
+        def split_passages(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["passage_ids"] = df["passage_ids_str"].str.split("\x1f")
+            return df[["subj", "pred", "obj", "subj_type", "obj_type",
+                       "mention_count", "n_units", "passage_ids",
+                       "confidence"]]
+
         (typed.sort(["subj", "pred", "obj"])
+         .map_batches(split_passages, batch_format="pandas")
          .map_batches(strip_meta, batch_format="pyarrow")
          .write_parquet(tmp))
 
