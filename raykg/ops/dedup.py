@@ -112,6 +112,72 @@ def prefix_rows_group(g: pd.DataFrame,
     return g[rank < lens][["doc_id", "shingle", "n", "pos"]]
 
 
+def cand_pair_partial(df: pd.DataFrame,
+                      threshold: float = JACCARD_THRESHOLD) -> pd.DataFrame:
+    """Per-batch combiner for the prefix self-join output: collapse the
+    (pair × shared-prefix-shingle) rows of one batch to ONE row per pair
+    carrying the statistics the PPJoin accumulation filter needs —
+    ``c`` (shared-prefix-shingle count), last canonical positions in both
+    docs, and the set sizes.  Pair-uniform cuts (unordered-pair ordering,
+    size compatibility) apply per row BEFORE grouping; positional cuts
+    must NOT — dropping an individual match row would undercount ``c``
+    and make the accumulation bound lossy.
+
+    (Measured dead end, kept symmetric on purpose: PPJoin's asymmetric
+    index prefix cut join volume ~40% here but weakened ``c`` — counted
+    over probe∩index instead of the full prefix intersection — admitting
+    1.87M candidates vs 1.09M symmetric at sf0.1, and was net SLOWER.)"""
+    import polars as pl
+    keep = ((df["doc_id"] < df["doc_b"])
+            & (df[["n", "nb"]].max(axis=1) * threshold
+               <= df[["n", "nb"]].min(axis=1)))
+    d = pl.from_pandas(df[keep][["doc_id", "doc_b", "n", "nb",
+                                 "pos", "pos_b"]])
+    # int32 stats: shingle counts/positions are ≪ 2^31 — halves the width
+    # of 5 of the 7 columns riding the pair-key exchange
+    return (d.group_by(["doc_id", "doc_b"])
+            .agg(c=pl.len().cast(pl.Int32),
+                 il=pl.col("pos").max().cast(pl.Int32),
+                 jl=pl.col("pos_b").max().cast(pl.Int32),
+                 n=pl.col("n").first().cast(pl.Int32),
+                 nb=pl.col("nb").first().cast(pl.Int32))
+            .to_pandas())
+
+
+def cand_pair_final(g: pd.DataFrame,
+                    threshold: float = JACCARD_THRESHOLD) -> pd.DataFrame:
+    """Per-pair PPJoin candidate filters over the merged partials (all rows
+    of a pair are co-located here).  Shingles are globally ordered (df asc,
+    shingle asc — every doc sorts them identically), so for a pair sharing
+    prefix shingles S whose canonically-last member s_last sits at
+    positions (il, jl): any shared shingle canonically below s_last would
+    itself lie inside both prefixes (its positions are < il/jl, which are
+    < both prefix lengths) and hence in S — so overlap beyond S starts
+    strictly after (il, jl):
+
+        ``O ≤ c + min(n − il − 1, nb − jl − 1)``
+
+    (PPJoin's accumulation/positional filter, Xiao et al.; it subsumes the
+    single-match positional bound ``min(n − ia, nb − ja)`` because shared
+    shingles advance positions in BOTH docs: il ≥ ia + c − 1).  Pruning
+    pairs whose bound is below ⌈t/(1+t)(na+nb)⌉ is lossless for J ≥ t."""
+    import polars as pl
+    d = (pl.from_pandas(g).group_by(["doc_id", "doc_b"])
+         .agg(c=pl.col("c").sum(),
+              il=pl.col("il").max(), jl=pl.col("jl").max(),
+              n=pl.col("n").first(), nb=pl.col("nb").first())
+         .to_pandas())
+    n = d["n"].to_numpy().astype("int64")
+    nb = d["nb"].to_numpy().astype("int64")
+    alpha = min_overlap(n + nb, threshold)
+    accum_bound = (d["c"].to_numpy().astype("int64")
+                   + np.minimum(n - d["il"].to_numpy(),
+                                nb - d["jl"].to_numpy()) - 1)
+    keep = accum_bound >= alpha
+    return pd.DataFrame({"doc_a": d["doc_id"].to_numpy()[keep],
+                         "doc_b": d["doc_b"].to_numpy()[keep]})
+
+
 def min_overlap(s: "np.ndarray | int", threshold: float = JACCARD_THRESHOLD):
     """⌈t/(1+t) · s⌉ with EXACT integer arithmetic (float ceil drifts on
     exact multiples); s = na + nb."""

@@ -646,6 +646,11 @@ def _verify_pairs_by_join(pairs, docs, shingle_sets=None,
 
     pairs = pairs.materialize()
     n_pairs = pairs.count()
+    # candidate volume is THE cost driver of the verify stage — log it so
+    # filter-effectiveness regressions are visible in bench/driver output
+    import logging
+    logging.getLogger("raykg.dedup").info(
+        "jaccard candidate pairs entering verify: %d", n_pairs)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         j = [round(dd.jaccard_of_texts(a, b), 6)
@@ -774,24 +779,16 @@ def q_dedup_jaccard_pairs(sf_dir: str):
                                       "pos": "pos_b"}),
         batch_format="pandas")
 
-    def _cand_filter(df: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-        # size-compat + PPJoin positional filter (both lossless; see
-        # dedup.prefix_rows_group): a true pair's first shared shingle
-        # must leave ≥ min_overlap shingles after its position in BOTH
-        # docs — the prefix-tail matches this prunes never reach t
-        keep = ((df["doc_id"] < df["doc_b"])
-                & (df[["n", "nb"]].max(axis=1) * dd.JACCARD_THRESHOLD
-                   <= df[["n", "nb"]].min(axis=1))
-                & (np.minimum(df["n"] - df["pos"], df["nb"] - df["pos_b"])
-                   >= dd.min_overlap((df["n"] + df["nb"]).to_numpy())))
-        return df[keep].rename(
-            columns={"doc_id": "doc_a"})[["doc_a", "doc_b"]]
-
-    cand = (hashagg.coalesced_join(prefixes, right, on=("shingle",),
-                                   num_partitions=_nparts())
-            .map_batches(_cand_filter, batch_format="pandas"))
-    cand = hashagg.distinct(cand, ["doc_a", "doc_b"], coalesce=_nparts(0.5))
+    # size-compat per row, then ONE pair-key exchange that does double duty:
+    # it dedups candidate pairs (the old distinct) AND co-locates each
+    # pair's match statistics for the PPJoin positional + accumulation
+    # filters (dedup.cand_pair_final — lossless, strictly tighter than the
+    # per-row positional cut whenever a pair shares ≥ 2 prefix shingles)
+    cand = hashagg.grouped_apply(
+        hashagg.coalesced_join(prefixes, right, on=("shingle",),
+                               num_partitions=_nparts()),
+        ["doc_id", "doc_b"], dd.cand_pair_final, dd.cand_pair_partial,
+        coalesce=_nparts(0.5))
 
     def to_sets(df: pd.DataFrame) -> pd.DataFrame:
         import polars as pl
@@ -3975,46 +3972,51 @@ LEFT JOIN tmatch m ON m.repo = p.repo AND m.ea = p.ea AND m.eb = p.eb
 #      round) occupy the tail slots past 50 — their behavior is pinned by
 #      tests/ and scripts/check_oracles.py instead.
 QUERY_FNS = {
-    # -- tier 1: previously outside the driver's 50-slot check window -----
+    # The driver checks the FIRST 50 entries each round.  Window policy
+    # (VERDICT r3 #8): every query whose implementation changed this round
+    # sits inside the first 50; only multi-round-green untouched queries
+    # rotate past slot 50.
+    # -- tier 1: implementation changed or added in round 4 ---------------
+    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,   # PPJoin accum filter
+    "dedup_clusters": q_dedup_clusters,             # pointer doubling
+    "corpus_curation": q_corpus_curation,           # widths + chain above
+    "dedup_exact": q_dedup_exact,                   # feeds curation chain
+    "multimodal_features": q_multimodal_features,   # real WAV/BMP decode
+    "gen_scenes": q_gen_scenes,                     # sha pin; no SQL oracle
+    "ann_lsh": q_ann_lsh,                           # multiprobe rewrite
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,   # no SQL oracle (LSH)
+    "simhash": q_simhash,                           # no SQL oracle
+    # hashagg exchange now dictionary-encodes string columns; these are
+    # the heaviest consumers of the changed exchange + triples sink
+    "kg_nodes": q_kg_nodes,
+    "kg_triples": q_kg_triples,
+    "kg_mention_edges": q_kg_mention_edges,
+    "kg_cooccurrence": q_kg_cooccurrence,
+    "kg_type_stats": q_kg_type_stats,
+    "kg_top_by_type": q_kg_top_by_type,
+    # -- tier 2: changed in round 3, keep one more driver round -----------
     "unit_types": q_unit_types,
     "voice_signatures": q_voice_signatures,
     "kg_corpus_stats": q_kg_corpus_stats,
     "kg_fuzzy_links": q_kg_fuzzy_links,
     "lore_check": q_lore_check,
-    "gen_scenes": q_gen_scenes,                     # no SQL oracle (LLM)
     "timeline_entities": q_timeline_entities,
     "timeline_alive": q_timeline_alive,
     "timeline_order": q_timeline_order,
     "timeline_before": q_timeline_before,
-    "ann_lsh": q_ann_lsh,
-    "dedup_minhash_pairs": q_dedup_minhash_pairs,   # no SQL oracle (LSH)
-    "simhash": q_simhash,                           # no SQL oracle
     "embed_neardup": q_embed_neardup,
     "ann_topk": q_ann_topk,
-    "multimodal_features": q_multimodal_features,
-    # -- tier 2: implementation changed or added in round 3 ---------------
     "style_delta": q_style_delta,
     "event_order": q_event_order,
     "dialogue_spans": q_dialogue_spans,
     "dialogue_spans_all": q_dialogue_spans_all,
     "kg_merge_verify": q_kg_merge_verify,
-    "dedup_clusters": q_dedup_clusters,
-    "corpus_curation": q_corpus_curation,
     "kg_merge_candidates": q_kg_merge_candidates,
     "voice_distinctive": q_voice_distinctive,
     "style_unit_metrics": q_style_unit_metrics,
     "style_fingerprint": q_style_fingerprint,
-    # -- tier 3: everything else, newest-first -----------------------------
+    # -- tier 3: fill the window, fewest green rounds first ---------------
     "kg_seeds": q_kg_seeds,
-    "kg_units_with_rels": q_kg_units_with_rels,
-    "kg_interactions": q_kg_interactions,
-    "wb_passages": q_wb_passages,
-    "wb_rules": q_wb_rules,
-    "event_entity_links": q_event_entity_links,
-    "speaker_entities": q_speaker_entities,
-    "kg_graph_stats": q_kg_graph_stats,
-    "kg_type_conflicts": q_kg_type_conflicts,
-    "event_lookup": q_event_lookup,
     "style_zscores": q_style_zscores,
     "style_type_distribution": q_style_type_distribution,
     "style_similarity": q_style_similarity,
@@ -4022,33 +4024,34 @@ QUERY_FNS = {
     "wb_cultures": q_wb_cultures,
     "wb_magic": q_wb_magic,
     "wb_geography": q_wb_geography,
+    "kg_units_with_rels": q_kg_units_with_rels,
+    "kg_interactions": q_kg_interactions,
+    "wb_passages": q_wb_passages,
+    "wb_rules": q_wb_rules,
+    "event_entity_links": q_event_entity_links,
     "voice_profiles": q_voice_profiles,
+    "style_distribution": q_style_distribution,
+    # ------- slot 51+ : untouched this round, green in ≥ 2 rounds --------
+    "speaker_entities": q_speaker_entities,
+    "kg_graph_stats": q_kg_graph_stats,
+    "kg_type_conflicts": q_kg_type_conflicts,
+    "event_lookup": q_event_lookup,
     "events": q_events,
     "events_dedup": q_events_dedup,
-    "style_distribution": q_style_distribution,
     "style_readability": q_style_readability,
     "style_vocab": q_style_vocab,
     "style_function_words": q_style_function_words,
     "style_word_lengths": q_style_word_lengths,
     "style_unknown_words": q_style_unknown_words,
     "kg_suggestions": q_kg_suggestions,
-    # ---------------- slot 51+ : long-stable (green in r1 AND r2) --------
     "kg_units": q_kg_units,
     "kg_mentions": q_kg_mentions,
-    "kg_nodes": q_kg_nodes,
     "kg_top_entities": q_kg_top_entities,
-    "kg_triples": q_kg_triples,
-    "kg_mention_edges": q_kg_mention_edges,
     "kg_code_symbols": q_kg_code_symbols,
-    "kg_cooccurrence": q_kg_cooccurrence,
     "doc_tokens": q_doc_tokens,
     "doc_quality": q_doc_quality,
     "doc_langid": q_doc_langid,
     "doc_fingerprint": q_doc_fingerprint,
-    "dedup_exact": q_dedup_exact,
-    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
-    "kg_type_stats": q_kg_type_stats,
-    "kg_top_by_type": q_kg_top_by_type,
 }
 
 # queries with no SQL-expressible oracle → driver records rows-only check

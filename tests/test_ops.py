@@ -157,6 +157,30 @@ def test_verify_pairs_branches_agree(ray_session):
         bcast_texts, text_join[bcast_texts.columns])
 
 
+def test_jaccard_accumulation_filter_lossless(ray_session):
+    """The PPJoin accumulation filter (cand_pair_partial/final) is a
+    lossless candidate pruner: the full pipeline's verified pairs equal
+    brute-force all-pairs exact Jaccard over the same documents."""
+    from itertools import combinations
+
+    from raykg.pipelines import queries as Q
+
+    sf_small = "/root/testdata/sf0.001"
+    docs = Q._docs_ds(sf_small).to_pandas()
+    truth = set()
+    shingles = {r.doc_id: dd.word_shingles(r.text)
+                for r in docs.itertuples()}
+    for a, b in combinations(sorted(shingles), 2):
+        sa, sb = shingles[a], shingles[b]
+        inter = len(sa & sb)
+        if inter and inter / (len(sa) + len(sb) - inter) \
+                >= dd.JACCARD_THRESHOLD:
+            truth.add((a, b))
+    got = Q.q_dedup_jaccard_pairs(sf_small).to_pandas()
+    assert set(zip(got["doc_a"], got["doc_b"])) == truth
+    assert len(truth) > 0                                # non-vacuous
+
+
 def test_bmp_decoder_inverts_encode():
     """Real BMP decode (header parse + numpy over padded rows) must
     recover the closed-form dims/means synth_bmp encodes (multimodal.py
