@@ -26,7 +26,7 @@ import re
 from raykg import vocab
 
 MODEL_CACHE = "/tmp/raykg_models"
-MODEL_VERSION = 1
+MODEL_VERSION = 2       # v2: + determiner class (shallow-chunker support)
 
 # --- shared rule constants (mirrored into oracle SQL) ---
 CLOSED_OTHER: tuple[str, ...] = (
@@ -44,6 +44,15 @@ CLOSED_OTHER: tuple[str, ...] = (
     "is", "am", "are", "was", "were", "be", "been", "being", "do",
     "does", "did", "have", "has", "had", "will", "would", "shall",
     "should", "can", "could", "may", "might", "must", "not",
+)
+
+# determiner SUBCLASS of the closed class — the shallow chunker needs
+# determiners distinguished from prepositions/aux (an NP may start with a
+# determiner but not with "of"); the POS ladder itself still tags them
+# OTHER, so M14 metrics are unchanged
+DETERMINERS: tuple[str, ...] = (
+    "the", "a", "an", "this", "that", "these", "those", "some", "any",
+    "no", "every", "each",
 )
 
 ADV_WORDS: tuple[str, ...] = (
@@ -123,6 +132,7 @@ def build_model(lang: str = "en") -> dict:
         "adj": sorted(ADJ_WORDS),
         "verb": verbs,
         "subordinators": sorted(SUBORDINATORS),
+        "det": sorted(DETERMINERS),
     }
 
 
@@ -156,6 +166,7 @@ class PosTagger:
         self.adj = frozenset(m["adj"])
         self.verb = frozenset(m["verb"])
         self.subordinators = frozenset(m["subordinators"])
+        self.det = frozenset(m["det"])
         self.adj_suffix_re = re.compile(ADJ_SUFFIX_PATTERN)
         self.verb_suffix_re = re.compile(VERB_SUFFIX_PATTERN)
         self.passive_re = re.compile(PASSIVE_PATTERN, re.IGNORECASE)

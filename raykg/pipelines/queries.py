@@ -226,6 +226,22 @@ def q_style_unit_metrics(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_style_chunks(sf_dir: str):
+    """Shallow NP/VP chunking per prose unit — the lightweight
+    dependency-ish parser tier of the R2 seam (raykg/ops/chunks.py): the
+    per-language POS model + determiner subclass load once per actor,
+    the tag-char sequence is regex-chunked (NP = D?A*N+, VP = R?V+).
+    The oracle rebuilds the identical tag string with the identical
+    artifact word lists and the identical RE2-compatible patterns."""
+    from raykg.ops import chunks as ck
+    p = kg_paths(sf_dir)
+    ds = rd.read_parquet(p["units"],
+                         columns=["unit_id", "repo", "lang", "text"])
+    return ds.map_batches(ck.ChunkTagger, batch_format="pyarrow",
+                          batch_size=2048, concurrency=(1, 4),
+                          max_restarts=0)
+
+
 def q_style_distribution(sf_dir: str):
     from raykg.stages import fingerprint as fp
     return (_metrics_ds(sf_dir).groupby("repo")
@@ -3117,6 +3133,32 @@ WHERE a.era_ord <> b.era_ord OR a.year <> b.year"""
                 "archaism_count, noun_count, verb_count, adj_count, "
                 "adv_count, clause_depth, voice FROM unit_metrics")
 
+    if name == "style_chunks":
+        from raykg.models import pos
+        from raykg.ops import chunks as ck
+        dets = ", ".join(f"'{d}'" for d in pos.DETERMINERS)
+        tag_char = f"""CASE WHEN w IN ({dets}) THEN 'D'
+          ELSE CASE {_tag_expr('w')}
+               WHEN 'ADV' THEN 'R' WHEN 'ADJ' THEN 'A'
+               WHEN 'VERB' THEN 'V' WHEN 'NOUN' THEN 'N'
+               ELSE 'O' END END"""
+        return f"""WITH {U},
+tagged AS (
+  SELECT unit_id, repo,
+         array_to_string(list_transform(
+             regexp_extract_all(lower(text), '[a-z]+'),
+             w -> {tag_char}), '') AS tags
+  FROM units WHERE lang = 'txt')
+SELECT unit_id, repo,
+       CAST(len(regexp_extract_all(tags, '{ck.NP_PATTERN}')) AS BIGINT)
+           AS np_count,
+       CAST(len(regexp_extract_all(tags, '{ck.VP_PATTERN}')) AS BIGINT)
+           AS vp_count,
+       CAST(coalesce(list_max(list_transform(
+               regexp_extract_all(tags, '{ck.NP_PATTERN}'),
+               m -> length(m))), 0) AS BIGINT) AS max_np_len
+FROM tagged"""
+
     if name == "style_distribution":
         return f"""WITH {U},{UM},
 dist_raw AS (
@@ -3994,6 +4036,7 @@ QUERY_FNS = {
     "kg_cooccurrence": q_kg_cooccurrence,
     "kg_type_stats": q_kg_type_stats,
     "kg_top_by_type": q_kg_top_by_type,
+    "style_chunks": q_style_chunks,                 # NEW in round 4
     # -- tier 2: changed in round 3, keep one more driver round -----------
     "unit_types": q_unit_types,
     "voice_signatures": q_voice_signatures,
@@ -4030,8 +4073,8 @@ QUERY_FNS = {
     "wb_rules": q_wb_rules,
     "event_entity_links": q_event_entity_links,
     "voice_profiles": q_voice_profiles,
-    "style_distribution": q_style_distribution,
     # ------- slot 51+ : untouched this round, green in ≥ 2 rounds --------
+    "style_distribution": q_style_distribution,
     "speaker_entities": q_speaker_entities,
     "kg_graph_stats": q_kg_graph_stats,
     "kg_type_conflicts": q_kg_type_conflicts,

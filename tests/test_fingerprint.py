@@ -102,3 +102,34 @@ def test_pos_tagger_ladder():
     assert tg.tag("glorious") == "ADJ"
     assert tg.tag("walked") == "VERB"
     assert tg.tag("sword") == "NOUN"
+
+
+def test_chunk_tagger_grammar_and_init_once():
+    """R2 seam (shallow parser tier): model dict built once per actor in
+    __init__; NP/VP chunking over the tag-char sequence is deterministic
+    and matches hand-computed chunks."""
+    import pyarrow as pa
+
+    from raykg.ops import chunks as ck
+
+    before = ck.ChunkTagger.init_count
+    tg = ck.ChunkTagger()
+    # tags: The(D) old(A) grey(A) king(N) slowly(R) walked(V) to(O)
+    #       the(D) dark(A) tower(N)
+    text = "The old grey king slowly walked to the dark tower."
+    assert tg.tag_chars(text) == "DAANRVODAN"
+    t = pa.table({"unit_id": ["u1"], "repo": ["r"], "lang": ["txt"],
+                  "text": [text]})
+    for _ in range(3):
+        out = tg(t)
+    assert ck.ChunkTagger.init_count == before + 1
+    row = out.to_pandas().iloc[0]
+    assert row["np_count"] == 2            # [The old grey king] [the dark tower]
+    assert row["vp_count"] == 1            # [slowly walked]
+    assert row["max_np_len"] == 4          # D A A N
+    # non-prose rows are filtered, empty text yields zero counts
+    t2 = pa.table({"unit_id": ["u2", "u3"], "repo": ["r", "r"],
+                   "lang": ["py", "txt"], "text": ["def f(): pass", "..."]})
+    out2 = tg(t2).to_pandas()
+    assert list(out2["unit_id"]) == ["u3"]
+    assert out2["np_count"].iloc[0] == 0
