@@ -56,42 +56,6 @@ def _pl():
     return pl
 
 
-def dict_encode(t: pa.Table) -> pa.Table:
-    """Dictionary-encode every string column of an Arrow block before it
-    enters the bucket exchange.  Entity ids / predicates / unit ids repeat
-    heavily within a combined partial, so the exchange ships small
-    int32-index buffers + one dictionary per chunk instead of repeated
-    string bytes — on a single box the all-to-all stages are memory-bus
-    bound above ~16 cores, so shrinking exchanged bytes is what moves the
-    8→32 scaling pair (VERDICT r3 item 2).  Arrow concatenation keeps
-    per-chunk dictionaries (no unification pass), and :func:`decat`
-    restores plain object-dtype strings right after the exchange so no
-    downstream consumer ever sees a categorical."""
-    import pyarrow.compute as pc
-    cols, changed = [], False
-    for i, f in enumerate(t.schema):
-        c = t.column(i)
-        if pa.types.is_string(f.type) or pa.types.is_large_string(f.type):
-            c = pc.dictionary_encode(c)
-            changed = True
-        cols.append(c)
-    if not changed:
-        return t
-    return pa.Table.from_arrays(cols, names=t.schema.names)
-
-
-def decat(df: pd.DataFrame) -> pd.DataFrame:
-    """Undo the pandas side of :func:`dict_encode`: dictionary columns
-    arrive from ``map_groups(batch_format="pandas")`` as Categorical —
-    cast back to object strings BEFORE any groupby (pandas enumerates all
-    categories per group on categoricals, and output dtypes must not
-    change)."""
-    for c in df.columns:
-        if isinstance(df[c].dtype, pd.CategoricalDtype):
-            df[c] = df[c].astype(object)
-    return df
-
-
 def _bucket_expr(d, keys: list[str], num_buckets: int):
     pl = _pl()
     return (d.select(keys).hash_rows() % num_buckets).cast(pl.Int64)
@@ -161,12 +125,12 @@ def grouped_apply(ds: rd.Dataset, keys: Sequence[str],
         # the sf4 triples stage at 32 CPUs.  Fall back to pandas for
         # partials polars/arrow can't represent.
         try:
-            return dict_encode(d.to_arrow())
+            return d.to_arrow()
         except Exception:
             return d.to_pandas()
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return final_fn(decat(g.drop(columns="__bucket")))
+        return final_fn(g.drop(columns="__bucket"))
 
     return _finish(ds.map_batches(add_bucket, batch_format="pandas"),
                    per_bucket, coalesce, num_buckets)
@@ -180,11 +144,11 @@ def _pl_two_phase(ds: rd.Dataset, keys: list[str], agg_exprs_partial,
 
     def partial(t: pa.Table) -> pa.Table:
         g = pl.from_arrow(t).group_by(keys).agg(agg_exprs_partial)
-        return dict_encode(g.with_columns(
-            _bucket_expr(g, keys, num_buckets).alias("__bucket")).to_arrow())
+        return g.with_columns(
+            _bucket_expr(g, keys, num_buckets).alias("__bucket")).to_arrow()
 
     def final(gdf: pd.DataFrame) -> pd.DataFrame:
-        d = pl.from_pandas(decat(gdf.drop(columns="__bucket")))
+        d = pl.from_pandas(gdf.drop(columns="__bucket"))
         return (d.group_by(keys).agg(agg_exprs_final)
                 .sort(keys).to_pandas())
 
@@ -225,11 +189,11 @@ def distinct(ds: rd.Dataset, keys: Sequence[str],
 
     def partial(t: pa.Table) -> pa.Table:
         g = pl.from_arrow(t).select(keys).unique()
-        return dict_encode(g.with_columns(
-            _bucket_expr(g, keys, num_buckets).alias("__bucket")).to_arrow())
+        return g.with_columns(
+            _bucket_expr(g, keys, num_buckets).alias("__bucket")).to_arrow()
 
     def final(gdf: pd.DataFrame) -> pd.DataFrame:
-        return (pl.from_pandas(decat(gdf.drop(columns="__bucket")))
+        return (pl.from_pandas(gdf.drop(columns="__bucket"))
                 .unique().sort(keys).to_pandas())
 
     return _finish(ds.map_batches(partial, batch_format="pyarrow"),
@@ -453,8 +417,8 @@ def cogroup_apply(sources, keys: Sequence[str],
             # such blocks logs "Failed to hash the schemas" from worker
             # processes the raykg log filter can't reach.
             try:
-                return dict_encode(pa.Table.from_pandas(
-                    out, preserve_index=False).replace_schema_metadata(None))
+                return pa.Table.from_pandas(
+                    out, preserve_index=False).replace_schema_metadata(None)
             except Exception:
                 return out
         return f
