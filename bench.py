@@ -30,7 +30,7 @@ import time
 QUERY_SET = ["style_vocab", "style_fingerprint", "dedup_minhash_pairs",
              "ann_topk", "event_order", "kg_cooccurrence",
              "style_similarity", "lore_check", "voice_profiles",
-             "kg_fuzzy_links", "corpus_curation"]
+             "kg_fuzzy_links", "style_chunks", "corpus_curation"]
 
 
 def run_bench() -> dict:
