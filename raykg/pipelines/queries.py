@@ -581,6 +581,48 @@ def q_event_order(sf_dir: str):
     return ev.order_edges(ev.dedup_events(_events_ds(sf_dir)))
 
 
+def q_event_asof_prev(sf_dir: str):
+    """AS-OF (point-in-time) lookup over the event stream — the
+    custom-operator family Ray Data lacks natively (as-of join / windowed
+    lag).  For each event, attach the same agent's most recent
+    strictly-preceding event in timeline order.  Expressed Ray-Data-first
+    exactly as a distributed as-of join co-partitions: hash-partition on
+    the equality key (``agent``) through the bucketed hashagg exchange,
+    sort each agent's rows by (era_ord, year, unit_id, action, patient) —
+    the (era_ord, year) prefix is event time, the rest a total
+    deterministic tiebreak over distinct rows — and take the vectorized
+    per-group lag.  Sentinels (-1 / '') instead of NULLs keep the result
+    hash-stable across engines; the oracle is the equivalent LAG window
+    over the identical ORDER BY.  (Identical duplicate event rows order
+    arbitrarily among themselves, but swapping identical rows permutes
+    identical outputs — the result multiset is deterministic.)"""
+    from raykg.functions import hashagg
+
+    ds = _events_ds(sf_dir).map_batches(
+        lambda df: df[["unit_id", "subj", "pred", "obj", "era", "year"]]
+        .rename(columns={"subj": "agent", "pred": "action",
+                         "obj": "patient"})
+        .assign(era_ord=lambda d: d["era"].map(vocab.ERA_ORDER)
+                .fillna(-1).astype("int64")),
+        batch_format="pandas")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["agent", "era_ord", "year", "unit_id",
+                           "action", "patient"], kind="mergesort")
+        grp = g.groupby("agent", sort=False)
+        return g.assign(
+            prev_action=grp["action"].shift(1).fillna(""),
+            prev_patient=grp["patient"].shift(1).fillna(""),
+            prev_era_ord=grp["era_ord"].shift(1).fillna(-1).astype("int64"),
+            prev_year=grp["year"].shift(1).fillna(-1).astype("int64"),
+        )[["unit_id", "agent", "action", "patient", "era", "year",
+           "era_ord", "prev_era_ord", "prev_year", "prev_action",
+           "prev_patient"]]
+
+    return hashagg.grouped_apply(ds, ["agent"], per_bucket,
+                                 coalesce=_nparts(0.5))
+
+
 # ------------------------------------------- training-data ops (documents)
 
 def _docs_ds(sf_dir: str):
@@ -3114,6 +3156,20 @@ FROM spans_all"""
         return (f"WITH {U},{ev_cte} SELECT event_key, unit_id, agent, "
                 "action, patient, era, year FROM ev_dedup")
 
+    if name == "event_asof_prev":
+        return f"""WITH {U},{ev_cte},
+evo AS (SELECT unit_id, agent, action, patient, era, year,
+               {era_case} AS era_ord FROM ev)
+SELECT unit_id, agent, action, patient, era, year,
+       CAST(era_ord AS BIGINT) AS era_ord,
+       CAST(coalesce(LAG(era_ord) OVER w, -1) AS BIGINT) AS prev_era_ord,
+       CAST(coalesce(LAG(year) OVER w, -1) AS BIGINT) AS prev_year,
+       coalesce(LAG(action) OVER w, '') AS prev_action,
+       coalesce(LAG(patient) OVER w, '') AS prev_patient
+FROM evo
+WINDOW w AS (PARTITION BY agent
+             ORDER BY era_ord, year, unit_id, action, patient)"""
+
     if name == "event_order":
         return f"""WITH {U},{ev_cte},
 ord AS (
@@ -4037,6 +4093,7 @@ QUERY_FNS = {
     "kg_type_stats": q_kg_type_stats,
     "kg_top_by_type": q_kg_top_by_type,
     "style_chunks": q_style_chunks,                 # NEW in round 4
+    "event_asof_prev": q_event_asof_prev,           # NEW in round 4
     # -- tier 2: changed in round 3, keep one more driver round -----------
     "unit_types": q_unit_types,
     "voice_signatures": q_voice_signatures,

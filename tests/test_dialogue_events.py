@@ -212,3 +212,36 @@ def test_order_edges_driver_bounded(ray_session, tmp_path):
     import pyarrow.dataset as pads
     sink = pads.dataset(out_dir).to_table()
     assert sink.num_rows >= len(expect)
+
+
+def test_event_asof_prev_lag_semantics(ray_session, monkeypatch):
+    """The as-of lookup attaches each agent's most recent strictly
+    preceding event in (era_ord, year) order with deterministic
+    tiebreaks; first events get the -1/'' sentinels."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raykg.pipelines import queries as Q
+
+    ev = pd.DataFrame({
+        "unit_id": ["u1", "u2", "u3", "u4", "u5"],
+        "subj": ["Aldric", "Aldric", "Aldric", "Borin", "Borin"],
+        "pred": ["forged", "destroyed", "found", "took", "lost"],
+        "obj": ["Ring", "Ring", "Crown", "Gem", "Gem"],
+        "era": ["First", "Third", "First", "Second", "Second"],
+        "year": [100, 5, 200, 50, 50],
+    })
+    monkeypatch.setattr(Q, "_events_ds", lambda sf: rd.from_pandas(ev))
+    out = (Q.q_event_asof_prev("ignored").to_pandas()
+           .sort_values(["agent", "era_ord", "year", "unit_id"])
+           .reset_index(drop=True))
+    # Aldric timeline: (First,100 forged) -> (First,200 found) -> (Third,5)
+    a = out[out["agent"] == "Aldric"]
+    assert list(a["action"]) == ["forged", "found", "destroyed"]
+    assert list(a["prev_action"]) == ["", "forged", "found"]
+    assert list(a["prev_year"]) == [-1, 100, 200]
+    assert list(a["prev_era_ord"]) == [-1, 0, 0]
+    # same (era, year) tie for Borin breaks on unit_id (u4 < u5)
+    b = out[out["agent"] == "Borin"]
+    assert list(b["action"]) == ["took", "lost"]
+    assert list(b["prev_action"]) == ["", "took"]
