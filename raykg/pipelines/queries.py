@@ -1957,6 +1957,48 @@ def q_timeline_alive(sf_dir: str):
         tmp.alive_rows, batch_format="pandas")
 
 
+def q_timeline_overlap(sf_dir: str):
+    """RANGE (interval-overlap) join — the other custom-operator family
+    Ray Data lacks natively: per repo, every entity pair whose KNOWN
+    lifespans ([birth_era, death_era], both resolved) share ≥ 1 era.
+    Expressed Ray-Data-first by discretizing the range domain: each
+    entity explodes to its known-alive eras (the existing three-valued
+    `alive_during` table filtered to 'true'), pairs are emitted inside
+    era-bucketed groups (the classic interval-join-by-bucketing — group
+    sizes are bounded by per-repo vocabulary, never corpus), and a second
+    bucketed aggregation merges per-era pair hits into overlap stats.
+    The oracle is the equivalent range-predicate self-join."""
+    from raykg.functions import hashagg
+    from raykg.ops import temporal as tmp
+
+    alive = q_timeline_alive(sf_dir).map_batches(
+        lambda df: df[df["alive"] == "true"]
+        .assign(era_ord=lambda d: d["era"].map(tmp.ERA_ORDER).astype("int64"))
+        [["repo", "name_key", "era_ord"]],
+        batch_format="pandas")
+
+    def pairs_group(g: pd.DataFrame) -> pd.DataFrame:
+        # all a<b pairs within each (repo, era_ord) bucket — vectorized
+        # self-merge, group sizes are vocabulary-bounded
+        out = g.merge(g, on=["repo", "era_ord"], suffixes=("_a", "_b"))
+        out = out[out["name_key_a"] < out["name_key_b"]]
+        return out.rename(columns={"name_key_a": "entity_a",
+                                   "name_key_b": "entity_b"})[
+            ["repo", "entity_a", "entity_b", "era_ord"]]
+
+    per_era = hashagg.grouped_apply(alive, ["repo", "era_ord"], pairs_group,
+                                    coalesce=_nparts(0.5))
+
+    def merge_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(["repo", "entity_a", "entity_b"], sort=False)
+                .agg(n_overlap_eras=("era_ord", "size"),
+                     first_overlap_ord=("era_ord", "min"))
+                .reset_index())
+
+    return hashagg.grouped_apply(per_era, ["repo", "entity_a", "entity_b"],
+                                 merge_pairs, coalesce=_nparts(0.5))
+
+
 def q_timeline_order(sf_dir: str):
     """M16 ORDER_PATTERNS relations (lore/temporal.py:276-281,330-337):
     every match in pattern-then-document order (the reference keeps
@@ -4013,6 +4055,27 @@ FROM tl_entities t CROSS JOIN eras e
 LEFT JOIN eord bo ON bo.e = t.birth_era
 LEFT JOIN eord do_ ON do_.e = t.death_era""")
 
+    if name == "timeline_overlap":
+        return (f"WITH {U},{temporal_ctes()},"
+                """
+alive_true AS (
+  SELECT t.repo, t.name_key, e.era_ord
+  FROM tl_entities t CROSS JOIN eras e
+  JOIN eord bo ON bo.e = t.birth_era
+  JOIN eord do_ ON do_.e = t.death_era
+  WHERE bo.o <= e.era_ord AND e.era_ord <= do_.o
+),
+opairs AS (
+  SELECT a.repo, a.name_key AS entity_a, b.name_key AS entity_b, a.era_ord
+  FROM alive_true a JOIN alive_true b
+    ON a.repo = b.repo AND a.era_ord = b.era_ord
+   AND a.name_key < b.name_key
+)
+SELECT repo, entity_a, entity_b,
+       CAST(count(*) AS BIGINT) AS n_overlap_eras,
+       CAST(min(era_ord) AS BIGINT) AS first_overlap_ord
+FROM opairs GROUP BY 1, 2, 3""")
+
     if name == "timeline_order":
         return (f"WITH {U},{temporal_ctes()} "
                 "SELECT repo, path, unit_id, pattern_idx, ord, subj, "
@@ -4094,6 +4157,7 @@ QUERY_FNS = {
     "kg_top_by_type": q_kg_top_by_type,
     "style_chunks": q_style_chunks,                 # NEW in round 4
     "event_asof_prev": q_event_asof_prev,           # NEW in round 4
+    "timeline_overlap": q_timeline_overlap,         # NEW in round 4
     # -- tier 2: changed in round 3, keep one more driver round -----------
     "unit_types": q_unit_types,
     "voice_signatures": q_voice_signatures,

@@ -134,3 +134,30 @@ def test_lived_blocked_by_birth_or_death():
     assert eng.loc["aldric", "death_era"] == "third_age"
     assert eng.loc["durwyn", "birth_era"] == "third_age"
     assert eng.loc["durwyn", "death_era"] == "third_age"
+
+
+def test_timeline_overlap_range_join(ray_session, monkeypatch):
+    """The era-bucketed interval join finds exactly the entity pairs with
+    overlapping KNOWN lifespans, with shared-era count and first shared
+    era; unknown (unresolved) lifespans never pair."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raykg.pipelines import queries as Q
+
+    alive = []
+    # a: first..second, b: second..third, c: fourth only, d: unknown->no rows
+    for name, eras in (("a", ["first_age", "second_age"]),
+                       ("b", ["second_age", "third_age"]),
+                       ("c", ["fourth_age"])):
+        for e in eras:
+            alive.append(("acme/r0", name, e, "true"))
+    df = pd.DataFrame(alive, columns=["repo", "name_key", "era", "alive"])
+    monkeypatch.setattr(Q, "q_timeline_alive",
+                        lambda sf: rd.from_pandas(df))
+    out = (Q.q_timeline_overlap("ignored").to_pandas()
+           .sort_values(["entity_a", "entity_b"]).reset_index(drop=True))
+    from raykg.ops.temporal import ERA_ORDER
+    assert list(zip(out["entity_a"], out["entity_b"])) == [("a", "b")]
+    assert out["n_overlap_eras"].iloc[0] == 1
+    assert out["first_overlap_ord"].iloc[0] == ERA_ORDER["second_age"]
