@@ -1957,6 +1957,51 @@ def q_timeline_alive(sf_dir: str):
         tmp.alive_rows, batch_format="pandas")
 
 
+#: value-range window width for q_event_window_count (years)
+EVENT_WINDOW_YEARS = 100
+
+
+def q_event_window_count(sf_dir: str):
+    """WINDOWED AGGREGATE with a value-range frame — the third
+    custom-operator family Ray Data lacks natively (alongside the as-of
+    and range joins above): per event, the number of same-agent events in
+    the same era whose year falls in the trailing
+    ``[year − EVENT_WINDOW_YEARS, year]`` window (RANGE frame semantics:
+    all rows tying on year share one count, so no tiebreak is needed and
+    the result is order-independent by construction).  Ray-Data-first:
+    hash-partition on the window's PARTITION BY key through the bucketed
+    exchange, per-partition year sort, then two ``searchsorted`` cursors
+    per group — O(n log n) per partition, no pairwise expansion.  Oracle:
+    the equivalent ``COUNT(*) OVER (... RANGE BETWEEN k PRECEDING AND
+    CURRENT ROW)`` window."""
+    from raykg.functions import hashagg
+
+    ds = _events_ds(sf_dir).map_batches(
+        lambda df: df[["unit_id", "subj", "pred", "obj", "era", "year"]]
+        .rename(columns={"subj": "agent", "pred": "action",
+                         "obj": "patient"})
+        .assign(era_ord=lambda d: d["era"].map(vocab.ERA_ORDER)
+                .fillna(-1).astype("int64")),
+        batch_format="pandas")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        g = g.sort_values(["agent", "era_ord", "year"],
+                          kind="mergesort").reset_index(drop=True)
+        counts = np.empty(len(g), dtype="int64")
+        for _, idx in g.groupby(["agent", "era_ord"], sort=False).indices.items():
+            yrs = g["year"].to_numpy()[idx]          # sorted within group
+            lo = np.searchsorted(yrs, yrs - EVENT_WINDOW_YEARS, side="left")
+            hi = np.searchsorted(yrs, yrs, side="right")
+            counts[idx] = hi - lo
+        return g.assign(n_recent=counts)[
+            ["unit_id", "agent", "action", "patient", "era", "year",
+             "n_recent"]]
+
+    return hashagg.grouped_apply(ds, ["agent", "era_ord"], per_bucket,
+                                 coalesce=_nparts(0.5))
+
+
 def q_timeline_overlap(sf_dir: str):
     """RANGE (interval-overlap) join — the other custom-operator family
     Ray Data lacks natively: per repo, every entity pair whose KNOWN
@@ -3198,6 +3243,14 @@ FROM spans_all"""
         return (f"WITH {U},{ev_cte} SELECT event_key, unit_id, agent, "
                 "action, patient, era, year FROM ev_dedup")
 
+    if name == "event_window_count":
+        return f"""WITH {U},{ev_cte}
+SELECT unit_id, agent, action, patient, era, year,
+       CAST(COUNT(*) OVER (PARTITION BY agent, {era_case} ORDER BY year
+            RANGE BETWEEN {EVENT_WINDOW_YEARS} PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_recent
+FROM ev"""
+
     if name == "event_asof_prev":
         return f"""WITH {U},{ev_cte},
 evo AS (SELECT unit_id, agent, action, patient, era, year,
@@ -4158,6 +4211,7 @@ QUERY_FNS = {
     "style_chunks": q_style_chunks,                 # NEW in round 4
     "event_asof_prev": q_event_asof_prev,           # NEW in round 4
     "timeline_overlap": q_timeline_overlap,         # NEW in round 4
+    "event_window_count": q_event_window_count,     # NEW in round 4
     # -- tier 2: changed in round 3, keep one more driver round -----------
     "unit_types": q_unit_types,
     "voice_signatures": q_voice_signatures,

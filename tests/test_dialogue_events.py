@@ -245,3 +245,28 @@ def test_event_asof_prev_lag_semantics(ray_session, monkeypatch):
     b = out[out["agent"] == "Borin"]
     assert list(b["action"]) == ["took", "lost"]
     assert list(b["prev_action"]) == ["", "took"]
+
+
+def test_event_window_count_range_frame(ray_session, monkeypatch):
+    """Value-range trailing window: same-agent same-era events within
+    [year-100, year] count toward n_recent; ties on year share a count
+    (RANGE, not ROWS, semantics); other eras/agents never leak in."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raykg.pipelines import queries as Q
+
+    ev = pd.DataFrame({
+        "unit_id": [f"u{i}" for i in range(6)],
+        "subj": ["A", "A", "A", "A", "A", "B"],
+        "pred": ["did"] * 6,
+        "obj": ["x"] * 6,
+        "era": ["First", "First", "First", "First", "Second", "First"],
+        "year": [10, 50, 110, 300, 60, 55],
+    })
+    monkeypatch.setattr(Q, "_events_ds", lambda sf: rd.from_pandas(ev))
+    out = Q.q_event_window_count("ignored").to_pandas()
+    got = dict(zip(out["unit_id"], out["n_recent"]))
+    # A/First: 10 ->1; 50 -> {10,50} 2; 110 -> {10,50,110} 3; 300 -> 1
+    # A/Second: 60 -> 1 (era partition); B/First: 55 -> 1 (agent partition)
+    assert got == {"u0": 1, "u1": 2, "u2": 3, "u3": 1, "u4": 1, "u5": 1}
