@@ -4200,14 +4200,12 @@ QUERY_FNS = {
     "ann_lsh": q_ann_lsh,                           # multiprobe rewrite
     "dedup_minhash_pairs": q_dedup_minhash_pairs,   # no SQL oracle (LSH)
     "simhash": q_simhash,                           # no SQL oracle
-    # hashagg exchange now dictionary-encodes string columns; these are
-    # the heaviest consumers of the changed exchange + triples sink
-    "kg_nodes": q_kg_nodes,
+    # the triples sink changed this round (passage-id lists split after the
+    # final sort, commit 7f355fa); the dictionary-encoded exchange that
+    # briefly accompanied it was REVERTED (026a7f4), so the other hashagg
+    # consumers are byte-identical to their twice-green r1/r2 state and
+    # rotate past slot 50
     "kg_triples": q_kg_triples,
-    "kg_mention_edges": q_kg_mention_edges,
-    "kg_cooccurrence": q_kg_cooccurrence,
-    "kg_type_stats": q_kg_type_stats,
-    "kg_top_by_type": q_kg_top_by_type,
     "style_chunks": q_style_chunks,                 # NEW in round 4
     "event_asof_prev": q_event_asof_prev,           # NEW in round 4
     "timeline_overlap": q_timeline_overlap,         # NEW in round 4
@@ -4248,9 +4246,14 @@ QUERY_FNS = {
     "wb_rules": q_wb_rules,
     "event_entity_links": q_event_entity_links,
     "voice_profiles": q_voice_profiles,
-    # ------- slot 51+ : untouched this round, green in ≥ 2 rounds --------
     "style_distribution": q_style_distribution,
     "speaker_entities": q_speaker_entities,
+    # ------- slot 51+ : untouched this round, green in ≥ 2 rounds --------
+    "kg_nodes": q_kg_nodes,
+    "kg_mention_edges": q_kg_mention_edges,
+    "kg_cooccurrence": q_kg_cooccurrence,
+    "kg_type_stats": q_kg_type_stats,
+    "kg_top_by_type": q_kg_top_by_type,
     "kg_graph_stats": q_kg_graph_stats,
     "kg_type_conflicts": q_kg_type_conflicts,
     "event_lookup": q_event_lookup,

@@ -57,7 +57,12 @@ def measure(sf_dir: str) -> dict:
     rng = np.random.RandomState(5)
     ids = sorted(fp)
     rand_pairs = set()
-    while len(rand_pairs) < max(200, len(truth) * 4):
+    # cap the target at the number of distinct non-dup pairs that actually
+    # exist — on a tiny corpus (or one that is mostly duplicates) the
+    # uncapped target exceeds C(n,2) − |truth| and the loop never ends
+    n_non_dup = len(ids) * (len(ids) - 1) // 2 - len(truth)
+    target = min(max(200, len(truth) * 4), max(n_non_dup, 0))
+    while len(rand_pairs) < target:
         a, b = rng.choice(len(ids), 2, replace=False)
         p = (ids[min(a, b)], ids[max(a, b)])
         if p not in truth:
