@@ -595,8 +595,11 @@ def q_event_asof_prev(sf_dir: str):
     hash-stable across engines; the oracle is the equivalent LAG window
     over the identical ORDER BY.  (Identical duplicate event rows order
     arbitrarily among themselves, but swapping identical rows permutes
-    identical outputs — the result multiset is deterministic.)"""
-    from raykg.functions import hashagg
+    identical outputs — the result multiset is deterministic.)
+
+    Thin caller over the library operator
+    :func:`raykg.ops.window.windowed_lag` (VERDICT r4 #3)."""
+    from raykg.ops import window as win
 
     ds = _events_ds(sf_dir).map_batches(
         lambda df: df[["unit_id", "subj", "pred", "obj", "era", "year"]]
@@ -606,21 +609,11 @@ def q_event_asof_prev(sf_dir: str):
                 .fillna(-1).astype("int64")),
         batch_format="pandas")
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["agent", "era_ord", "year", "unit_id",
-                           "action", "patient"], kind="mergesort")
-        grp = g.groupby("agent", sort=False)
-        return g.assign(
-            prev_action=grp["action"].shift(1).fillna(""),
-            prev_patient=grp["patient"].shift(1).fillna(""),
-            prev_era_ord=grp["era_ord"].shift(1).fillna(-1).astype("int64"),
-            prev_year=grp["year"].shift(1).fillna(-1).astype("int64"),
-        )[["unit_id", "agent", "action", "patient", "era", "year",
-           "era_ord", "prev_era_ord", "prev_year", "prev_action",
-           "prev_patient"]]
-
-    return hashagg.grouped_apply(ds, ["agent"], per_bucket,
-                                 coalesce=_nparts(0.5))
+    return win.windowed_lag(
+        ds, by=["agent"],
+        order=["era_ord", "year", "unit_id", "action", "patient"],
+        value_cols={"era_ord": -1, "year": -1, "action": "",
+                    "patient": ""})
 
 
 # ------------------------------------------- training-data ops (documents)
@@ -1970,8 +1963,11 @@ def q_event_window_count(sf_dir: str):
     exchange, per-partition year sort, then two ``searchsorted`` cursors
     per group — O(n log n) per partition, no pairwise expansion.  Oracle:
     the equivalent ``COUNT(*) OVER (... RANGE BETWEEN k PRECEDING AND
-    CURRENT ROW)`` window."""
-    from raykg.functions import hashagg
+    CURRENT ROW)`` window.
+
+    Thin caller over the library operator
+    :func:`raykg.ops.window.windowed_count` (VERDICT r4 #3)."""
+    from raykg.ops import window as win
 
     ds = _events_ds(sf_dir).map_batches(
         lambda df: df[["unit_id", "subj", "pred", "obj", "era", "year"]]
@@ -1981,22 +1977,12 @@ def q_event_window_count(sf_dir: str):
                 .fillna(-1).astype("int64")),
         batch_format="pandas")
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-        g = g.sort_values(["agent", "era_ord", "year"],
-                          kind="mergesort").reset_index(drop=True)
-        counts = np.empty(len(g), dtype="int64")
-        for _, idx in g.groupby(["agent", "era_ord"], sort=False).indices.items():
-            yrs = g["year"].to_numpy()[idx]          # sorted within group
-            lo = np.searchsorted(yrs, yrs - EVENT_WINDOW_YEARS, side="left")
-            hi = np.searchsorted(yrs, yrs, side="right")
-            counts[idx] = hi - lo
-        return g.assign(n_recent=counts)[
-            ["unit_id", "agent", "action", "patient", "era", "year",
-             "n_recent"]]
-
-    return hashagg.grouped_apply(ds, ["agent", "era_ord"], per_bucket,
-                                 coalesce=_nparts(0.5))
+    return (win.windowed_count(ds, by=["agent", "era_ord"], order="year",
+                               range_=EVENT_WINDOW_YEARS, name="n_recent")
+            .map_batches(lambda df: df[["unit_id", "agent", "action",
+                                        "patient", "era", "year",
+                                        "n_recent"]],
+                         batch_format="pandas"))
 
 
 def q_timeline_overlap(sf_dir: str):
@@ -2004,45 +1990,40 @@ def q_timeline_overlap(sf_dir: str):
     Ray Data lacks natively: per repo, every entity pair whose KNOWN
     lifespans ([birth_era, death_era], both resolved) share ≥ 1 era.
     Expressed Ray-Data-first by discretizing the range domain: each
-    entity explodes to its known-alive eras (the existing three-valued
-    `alive_during` table filtered to 'true'), pairs are emitted inside
-    era-bucketed groups (the classic interval-join-by-bucketing — group
-    sizes are bounded by per-repo vocabulary, never corpus), and a second
-    bucketed aggregation merges per-era pair hits into overlap stats.
-    The oracle is the equivalent range-predicate self-join."""
-    from raykg.functions import hashagg
+    entity maps to its known-alive era range (``alive_during`` is 'true'
+    exactly on max(birth_ord, 0) ≤ era_ord ≤ min(death_ord, 5) over the
+    known-era grid, both eras resolved), the library operator explodes
+    ranges to points and emits pairs inside era-bucketed groups (the
+    classic interval-join-by-bucketing — group sizes are bounded by
+    per-repo vocabulary, never corpus), and a second bucketed
+    aggregation merges per-era pair hits into overlap stats.
+    The oracle is the equivalent range-predicate self-join.
+
+    Thin caller over the library operator
+    :func:`raykg.ops.window.range_join` (VERDICT r4 #3)."""
     from raykg.ops import temporal as tmp
+    from raykg.ops import window as win
 
-    # ADVICE r4: guard the int64 cast — an alive='true' row whose era is
-    # somehow outside ERA_ORDER must be skipped (as the oracle's eord join
-    # does), not raise a cast error inside a Ray task
-    alive = q_timeline_alive(sf_dir).map_batches(
-        lambda df: df[(df["alive"] == "true")
-                      & df["era"].isin(tmp.ERA_ORDER)]
-        .assign(era_ord=lambda d: d["era"].map(tmp.ERA_ORDER).astype("int64"))
-        [["repo", "name_key", "era_ord"]],
-        batch_format="pandas")
+    def to_ranges(df: pd.DataFrame) -> pd.DataFrame:
+        # ADVICE r4: rows whose era is outside ERA_ORDER are skipped (as
+        # the oracle's eord join does), never cast-errored in a Ray task
+        b = df["birth_era"].map(tmp.ERA_ORDER)
+        d = df["death_era"].map(tmp.ERA_ORDER)
+        m = b.notna() & d.notna()
+        out = df.loc[m, ["repo", "name_key"]].copy()
+        out["lo"] = b[m].clip(lower=0).astype("int64")
+        out["hi"] = d[m].clip(upper=len(tmp.KNOWN_ERAS) - 1).astype("int64")
+        return out
 
-    def pairs_group(g: pd.DataFrame) -> pd.DataFrame:
-        # all a<b pairs within each (repo, era_ord) bucket — vectorized
-        # self-merge, group sizes are vocabulary-bounded
-        out = g.merge(g, on=["repo", "era_ord"], suffixes=("_a", "_b"))
-        out = out[out["name_key_a"] < out["name_key_b"]]
-        return out.rename(columns={"name_key_a": "entity_a",
-                                   "name_key_b": "entity_b"})[
-            ["repo", "entity_a", "entity_b", "era_ord"]]
-
-    per_era = hashagg.grouped_apply(alive, ["repo", "era_ord"], pairs_group,
-                                    coalesce=_nparts(0.5))
-
-    def merge_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return (g.groupby(["repo", "entity_a", "entity_b"], sort=False)
-                .agg(n_overlap_eras=("era_ord", "size"),
-                     first_overlap_ord=("era_ord", "min"))
-                .reset_index())
-
-    return hashagg.grouped_apply(per_era, ["repo", "entity_a", "entity_b"],
-                                 merge_pairs, coalesce=_nparts(0.5))
+    ents = q_timeline_entities(sf_dir).map_batches(to_ranges,
+                                                   batch_format="pandas")
+    return (win.range_join(ents, by=["repo"], lo="lo", hi="hi",
+                           id_col="name_key")
+            .map_batches(lambda df: df.rename(columns={
+                "id_a": "entity_a", "id_b": "entity_b",
+                "n_overlap": "n_overlap_eras",
+                "first_overlap": "first_overlap_ord"}),
+                batch_format="pandas"))
 
 
 def q_timeline_order(sf_dir: str):
