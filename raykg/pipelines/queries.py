@@ -312,7 +312,7 @@ def q_style_function_words(sf_dir: str):
     from raykg.functions import hashagg
     # coalesce both join inputs: map_groups emits zero-column empty blocks
     # that break Arrow join schema resolution (see hashagg.coalesced_join)
-    counts = _word_counts_ds(sf_dir).repartition(8).materialize()
+    counts = _word_counts_ds(sf_dir).repartition(_nparts(0.25)).materialize()
     totals = hashagg.sum_col(counts, ["repo"], "cnt", name="total",
                              coalesce=2)
     fw = set(vocab.FUNCTION_WORDS)
@@ -323,7 +323,7 @@ def q_style_function_words(sf_dir: str):
         return out[["repo", "word", "freq"]]
 
     return (hashagg.coalesced_join(counts, totals, on=("repo",),
-                                   num_partitions=4)
+                                   num_partitions=_nparts(0.25))
             .map_batches(score, batch_format="pandas"))
 
 
@@ -1131,12 +1131,12 @@ def q_kg_units_with_rels(sf_dir: str):
         kg.read_extract_kind(p["extract"], extract.KIND_REL)
         .map_batches(lambda t: t.filter(pc.not_equal(t["method"], "code"))
                      .select(["unit_id"]), batch_format="pyarrow"),
-        ["unit_id"], coalesce=8)
+        ["unit_id"], coalesce=_nparts(0.25))
     units = rd.read_parquet(p["units"],
                             columns=["unit_id", "doc_sha256", "repo", "path",
                                      "text"])
-    return units.join(rel_units, join_type="inner", num_partitions=8,
-                      on=("unit_id",))
+    return units.join(rel_units, join_type="inner",
+                      num_partitions=_nparts(0.25), on=("unit_id",))
 
 
 def q_kg_interactions(sf_dir: str):
@@ -1191,7 +1191,7 @@ def q_kg_merge_candidates(sf_dir: str):
                                    on=("entity_a",),
                                    join_type="left_outer")
             .join(hashagg.arrow_clean(side("b")), join_type="left_outer",
-                  num_partitions=8, on=("entity_b",))
+                  num_partitions=_nparts(0.25), on=("entity_b",))
             .map_batches(decide, batch_format="pandas"))
 
 
@@ -1574,13 +1574,15 @@ def q_kg_corpus_stats(sf_dir: str):
                 [["n_files", "n_code", "total_bytes"]].sum())
 
     files = hashagg.grouped_apply(corpus, ["repo"], file_final, file_partial,
-                                  num_buckets=8, coalesce=4)
+                                  num_buckets=_nparts(0.25),
+                                  coalesce=_nparts(0.125))
     p = kg_paths(sf_dir)
     units = hashagg.count_rows(
         rd.read_parquet(p["units"], columns=["repo"]), ["repo"],
-        name="n_units", num_buckets=8, coalesce=4)
-    return files.join(units, join_type="inner", num_partitions=4,
-                      on=("repo",))
+        name="n_units", num_buckets=_nparts(0.25),
+        coalesce=_nparts(0.125))
+    return files.join(units, join_type="inner",
+                      num_partitions=_nparts(0.125), on=("repo",))
 
 
 def q_kg_fuzzy_links(sf_dir: str):
@@ -1935,7 +1937,7 @@ def q_timeline_entities(sf_dir: str):
     from raykg.ops import temporal as tmp
     return hashagg.grouped_apply(_lifespan_rows(sf_dir),
                                  ["repo", "name_key"], tmp.timeline_group,
-                                 coalesce=8)
+                                 coalesce=_nparts(0.25))
 
 
 def q_timeline_alive(sf_dir: str):
