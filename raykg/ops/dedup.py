@@ -380,6 +380,65 @@ def sets_polars_from_ds(shingle_sets) -> "object":
                           d["n"].cast(pl.Int64))
 
 
+#: fixed partition of the 63-bit shingle hash space for the verify-side
+#: lossless overlap bound (top 5 bits → 32 buckets; md5-derived hashes are
+#: uniform, so buckets stay balanced at any corpus size)
+VERIFY_HIST_BUCKETS = 32
+
+
+class SetsIndex:
+    """Broadcast verify-side index over (doc_id, shingles, n): the polars
+    sets frame for exact intersection plus per-doc hash-space HISTOGRAMS
+    for a lossless overlap upper bound — the PPJoin+ suffix-filter role,
+    re-expressed content-digest-wise (VERDICT r4 #2).  Post-exchange the
+    canonical suffix positions are gone (shipping suffixes through the
+    pair exchange was the measured dead end), but for ANY fixed partition
+    of the shingle hash space ``|a ∩ b| ≤ Σ_k min(h_a[k], h_b[k])``, and
+    that bound vectorizes over a pair batch with two row gathers + one
+    elementwise min — no per-pair content walk.  Pairs whose bound can't
+    reach the PPJoin minimum overlap α never pay the exact intersection.
+    """
+
+    def __init__(self, sets_pl):
+        self.sets = sets_pl.sort("doc_id")
+        self.ids = self.sets["doc_id"].to_numpy()
+        self.n = self.sets["n"].to_numpy().astype(np.int64)
+        la = self.sets["shingles"].to_arrow()
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        off = np.asarray(la.offsets, dtype=np.int64)
+        vals = np.asarray(la.values, dtype=np.int64)[off[0]:off[-1]]
+        lengths = np.diff(off - off[0])
+        rows = np.repeat(np.arange(len(lengths)), lengths)
+        bucket = (vals >> np.int64(58)) & np.int64(VERIFY_HIST_BUCKETS - 1)
+        self.hist = np.bincount(
+            rows * VERIFY_HIST_BUCKETS + bucket,
+            minlength=len(lengths) * VERIFY_HIST_BUCKETS
+        ).reshape(-1, VERIFY_HIST_BUCKETS).astype(np.int32)
+
+
+def prune_pairs_histogram(df: pd.DataFrame, idx: SetsIndex,
+                          threshold: float = JACCARD_THRESHOLD
+                          ) -> pd.DataFrame:
+    """LOSSLESS candidate prune before exact verification: drop pairs
+    whose histogram overlap bound is below the minimum overlap
+    ``α = ⌈t/(1+t)(na+nb)⌉`` — such a pair provably has J < t.  Docs
+    absent from the index are never pruned (the exact verify's inner
+    join decides them)."""
+    if len(df) == 0:
+        return df[["doc_a", "doc_b"]]
+    da = df["doc_a"].to_numpy().astype("int64")
+    db = df["doc_b"].to_numpy().astype("int64")
+    ra = np.searchsorted(idx.ids, da).clip(max=len(idx.ids) - 1)
+    rb = np.searchsorted(idx.ids, db).clip(max=len(idx.ids) - 1)
+    valid = (idx.ids[ra] == da) & (idx.ids[rb] == db)
+    bound = np.minimum(idx.hist[ra], idx.hist[rb]).sum(axis=1,
+                                                       dtype=np.int64)
+    alpha = min_overlap(idx.n[ra] + idx.n[rb], threshold)
+    keep = ~valid | (bound >= alpha)
+    return df[["doc_a", "doc_b"]].iloc[np.flatnonzero(keep)]
+
+
 _EMPTY_VERIFIED = {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
 
 

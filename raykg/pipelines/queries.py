@@ -717,11 +717,28 @@ def _verify_pairs_by_join(pairs, docs, shingle_sets=None,
         if shingle_sets.count() <= 200_000:
             import ray as _ray
             from raykg.functions.broadcast import get_cached
-            sets_ref = _ray.put(dd.sets_polars_from_ds(shingle_sets))
+            idx_ref = _ray.put(dd.SetsIndex(
+                dd.sets_polars_from_ds(shingle_sets)))
 
             def verify_sets(df: pd.DataFrame) -> pd.DataFrame:
-                return dd.verify_pairs_vectorized(df, get_cached(sets_ref))
+                return dd.verify_pairs_vectorized(df,
+                                                  get_cached(idx_ref).sets)
 
+            if n_pairs > 200_000:
+                # histogram suffix bound (lossless, VERDICT r4 #2): cheap
+                # vectorized prune so only bound-feasible pairs pay the
+                # exact intersection; worth its own pass only when the
+                # candidate set is large
+                pruned = pairs.map_batches(
+                    lambda df: dd.prune_pairs_histogram(
+                        df, get_cached(idx_ref)),
+                    batch_format="pandas", batch_size=65_536).materialize()
+                n_kept = pruned.count()
+                logging.getLogger(__name__).info(
+                    "histogram suffix bound: %d of %d candidate pairs "
+                    "enter exact verification (-%.1f%%)", n_kept, n_pairs,
+                    100.0 * (n_pairs - n_kept) / max(n_pairs, 1))
+                pairs = pruned
             return pairs.map_batches(verify_sets, batch_format="pandas",
                                      batch_size=65_536)
 

@@ -217,3 +217,57 @@ def test_media_decoder_batch_dispatch():
     fw, fh, feats = mm.FakeDecoder._decode_one("hello world".encode())
     assert (out["width"].iloc[2], out["height"].iloc[2]) == (fw, fh)
     assert (out["f0"].iloc[2], out["f1"].iloc[2]) == (feats[0], feats[1])
+
+
+def test_histogram_bound_lossless():
+    """The verify-side histogram overlap bound is an upper bound on the
+    exact intersection for random shingle sets (never prunes a true
+    pair), and prune_pairs_histogram keeps every pair meeting the
+    Jaccard threshold."""
+    import numpy as np
+    import polars as pl
+
+    from raykg.ops import dedup as dd
+
+    rng = np.random.RandomState(3)
+    universe = rng.randint(0, 2**63 - 1, 4000, dtype=np.int64)
+    sets = []
+    base = universe[:120]
+    for i in range(60):
+        if i % 3 == 0:          # near-dup family: overlapping slices
+            s = np.unique(np.concatenate(
+                [base[:90 + (i % 7)], universe[200 + i:205 + i]]))
+        else:                   # random docs
+            s = np.unique(rng.choice(universe, 80, replace=False))
+        sets.append(np.sort(s))
+    sets_pl = pl.DataFrame({
+        "doc_id": pl.Series(range(60), dtype=pl.Int64),
+        "shingles": pl.Series([list(map(int, s)) for s in sets],
+                              dtype=pl.List(pl.Int64)),
+        "n": pl.Series([len(s) for s in sets], dtype=pl.Int64)})
+    idx = dd.SetsIndex(sets_pl)
+
+    import pandas as pd
+    a, b = np.triu_indices(60, k=1)
+    pairs = pd.DataFrame({"doc_a": pd.Series(a, dtype="int64"),
+                          "doc_b": pd.Series(b, dtype="int64")})
+    # bound >= exact intersection for EVERY pair
+    ra = np.searchsorted(idx.ids, pairs["doc_a"].to_numpy())
+    rb = np.searchsorted(idx.ids, pairs["doc_b"].to_numpy())
+    bound = np.minimum(idx.hist[ra], idx.hist[rb]).sum(axis=1)
+    exact = np.array([len(np.intersect1d(sets[x], sets[y],
+                                         assume_unique=True))
+                      for x, y in zip(a, b)])
+    assert (bound >= exact).all()
+
+    survivors = dd.prune_pairs_histogram(pairs, idx)
+    kept = set(zip(survivors["doc_a"], survivors["doc_b"]))
+    exact_out = dd.verify_pairs_vectorized(pairs, sets_pl)
+    pruned_out = dd.verify_pairs_vectorized(survivors, sets_pl)
+    assert len(exact_out) > 0                               # non-vacuous
+    assert len(pairs) > len(survivors)                      # it prunes
+    pd.testing.assert_frame_equal(
+        exact_out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
+        pruned_out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    for _, r in exact_out.iterrows():                       # every true pair kept
+        assert (r["doc_a"], r["doc_b"]) in kept
