@@ -2,10 +2,12 @@
 stages over opaque ``binary`` columns with typed metadata.
 
 Real decoders for the formats Python's stdlib can decode byte-wise with no
-third-party codecs: WAV (``wave``) and uncompressed 24-bit BMP (header
-parse + numpy).  Payloads the decoder does not recognize fall back to the
-clearly marked :class:`FakeDecoder` (deterministic md5-derived features)
-— swap that tier for a PIL/libav-backed decoder on a real cluster.
+third-party codecs: WAV (``wave``), uncompressed 24-bit BMP (header parse
++ numpy) and non-interlaced 8-bit RGB PNG (``zlib`` inflate + scanline
+unfilter, all five spec filters).  Payloads the decoder does not recognize
+fall back to the clearly marked :class:`FakeDecoder` (deterministic
+md5-derived features) — swap that tier for a PIL/libav-backed decoder on
+a real cluster.
 Everything Ray-side — schema, small batch sizes for wide binary rows,
 actor signature (codec state built once per actor in ``__init__``),
 output layout — is real and tested.
@@ -25,6 +27,7 @@ import hashlib
 import io
 import struct
 import wave
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -35,9 +38,12 @@ DECODE_BATCH_SIZE = 64
 
 MEDIA_BMP = "image/bmp"
 MEDIA_WAV = "audio/wav"
+MEDIA_PNG = "image/png"
 MEDIA_FAKE = "application/octet-stream"
 
 WAV_RATE = 8000
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 # --------------------------------------------------------------- synthesis
@@ -91,21 +97,70 @@ def synth_wav(doc_id: int) -> bytes:
     return buf.getvalue()
 
 
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+
+def synth_png(doc_id: int) -> bytes:
+    """Deterministic non-interlaced 8-bit RGB (color type 2) PNG.
+
+    width  = 5 + doc_id % 11
+    height = 3 + (doc_id // 5) % 9
+    channel value at (x, y) = base_c + x + y  (never wraps: base < 100,
+    x + y ≤ 25), with base_r = doc_id % 100, base_g = (5·doc_id) % 100,
+    base_b = (11·doc_id) % 100.  Therefore
+    2·mean(channel c) = 2·base_c + width + height − 2 — the closed form
+    the oracle checks against the engine's byte-level decode.
+
+    Scanline filters CYCLE through None/Sub/Up (row % 3), so the
+    decoder's unfilter paths are genuinely exercised — a decoder that
+    ignored filtering would fail the oracle on every height ≥ 2 image."""
+    w = 5 + doc_id % 11
+    h = 3 + (doc_id // 5) % 9
+    bases = (doc_id % 100, (5 * doc_id) % 100, (11 * doc_id) % 100)
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    grad = x + y
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    for c in range(3):
+        img[:, :, c] = (bases[c] + grad).astype(np.uint8)
+    raw = img.reshape(h, w * 3)
+    lines = bytearray()
+    for r in range(h):
+        f = r % 3
+        row = raw[r].astype(np.int16)
+        if f == 1:                          # Sub: minus left pixel (bpp=3)
+            row = row - np.concatenate([np.zeros(3, np.int16), row[:-3]])
+        elif f == 2 and r > 0:              # Up: minus previous row
+            row = row - raw[r - 1].astype(np.int16)
+        lines.append(f)                     # Up at r=0: prior row is zeros
+        lines.extend((row % 256).astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + _png_chunk(b"IEND", b""))
+
+
 def to_binary_batch(t: pa.Table) -> pa.Table:
     """documents → typed binary media rows (media-table stand-in):
-    doc_id % 3 == 0 → real BMP bytes, == 1 → real WAV bytes,
-    == 2 → opaque payload (the doc text's utf-8 bytes)."""
+    doc_id % 4 == 0 → real BMP bytes, == 1 → real WAV bytes,
+    == 2 → real PNG bytes, == 3 → opaque payload (the doc text's utf-8
+    bytes)."""
     doc_ids = t["doc_id"].to_pylist()
     texts = t["text"].to_pylist()
     payloads, types = [], []
     for d, x in zip(doc_ids, texts):
-        m = int(d) % 3
+        m = int(d) % 4
         if m == 0:
             payloads.append(synth_bmp(int(d)))
             types.append(MEDIA_BMP)
         elif m == 1:
             payloads.append(synth_wav(int(d)))
             types.append(MEDIA_WAV)
+        elif m == 2:
+            payloads.append(synth_png(int(d)))
+            types.append(MEDIA_PNG)
         else:
             payloads.append(x.encode("utf-8"))
             types.append(MEDIA_FAKE)
@@ -158,14 +213,17 @@ class FakeDecoder:
 class MediaDecoder:
     """Actor-pool decode stage with REAL byte-level decoders for the
     stdlib-decodable formats (WAV via ``wave``, uncompressed 24-bit BMP
-    via header parse + numpy) and the :class:`FakeDecoder` md5 tier for
-    everything else.
+    via header parse + numpy, non-interlaced 8-bit RGB PNG via ``zlib``
+    inflate + scanline unfilter) and the :class:`FakeDecoder` md5 tier
+    for everything else.
 
     Output row per payload: (doc_id, media_type, width, height, f0, f1)
       * image/bmp  — width/height from the BMP header; f0/f1 = 2 × mean
         of the R / G channels (exact integers for any image whose channel
         sums are divisible by the pixel count; float division of two
         int64s with an integral quotient is exact in IEEE-754).
+      * image/png  — width/height from IHDR; f0/f1 = 2 × mean R / G of
+        the unfiltered pixels.
       * audio/wav  — width = sample rate, height = frame count;
         f0 = 2 × mean amplitude, f1 = max amplitude.
       * otherwise  — the FakeDecoder md5 features (f0/f1 = its first two).
@@ -201,6 +259,75 @@ class MediaDecoder:
         return w, hh, float(f0), float(f1)
 
     @staticmethod
+    def _decode_png(payload: bytes) -> tuple[int, int, float, float]:
+        """Byte-level non-interlaced 8-bit RGB PNG decode: chunk walk →
+        IHDR parse → IDAT concat → ``zlib`` inflate → scanline UNFILTER
+        (all five spec filters: None/Sub/Up are vectorized per row;
+        Average and Paeth reconstruct left-to-right — the left neighbor
+        is a decode-time dependency the spec makes inherently
+        sequential).  Covers what ``zlib`` can decode in-sandbox; other
+        color types / bit depths raise to the labeled fake tier's
+        documented NotImplementedError contract."""
+        if payload[:8] != PNG_SIG:
+            raise ValueError("not a PNG payload")
+        pos, idat = 8, bytearray()
+        w = h = depth = color = interlace = None
+        while pos + 8 <= len(payload):
+            ln = int.from_bytes(payload[pos:pos + 4], "big")
+            tag = payload[pos + 4:pos + 8]
+            data = payload[pos + 8:pos + 8 + ln]
+            if tag == b"IHDR":
+                w, h, depth, color, _, _, interlace = struct.unpack(
+                    ">IIBBBBB", data)
+            elif tag == b"IDAT":
+                idat.extend(data)
+            elif tag == b"IEND":
+                break
+            pos += 12 + ln          # len + tag + data + crc
+        if depth != 8 or color != 2 or interlace != 0:
+            raise NotImplementedError(
+                f"only non-interlaced 8-bit RGB PNG decodable in-sandbox "
+                f"(got depth={depth}, color={color}, interlace={interlace})")
+        stride = w * 3
+        flat = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+        flat = flat.reshape(h, 1 + stride)
+        filters = flat[:, 0]
+        rows = flat[:, 1:].astype(np.int64)
+        out = np.zeros((h, stride), dtype=np.int64)
+        prev = np.zeros(stride, dtype=np.int64)
+        for r in range(h):
+            f, cur = int(filters[r]), rows[r]
+            if f == 0:
+                rec = cur
+            elif f == 1:            # Sub: + left pixel (bpp=3)
+                rec = cur.reshape(w, 3).cumsum(axis=0).reshape(stride) % 256
+            elif f == 2:            # Up: + previous row
+                rec = (cur + prev) % 256
+            elif f in (3, 4):       # Average / Paeth: left-dependent
+                rec = np.empty(stride, dtype=np.int64)
+                for i in range(stride):
+                    a = rec[i - 3] if i >= 3 else 0
+                    b = prev[i]
+                    if f == 3:
+                        rec[i] = (cur[i] + (a + b) // 2) % 256
+                    else:
+                        c = prev[i - 3] if i >= 3 else 0
+                        p = a + b - c
+                        pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pr = a if (pa_ <= pb and pa_ <= pc) else (
+                            b if pb <= pc else c)
+                        rec[i] = (cur[i] + pr) % 256
+            else:
+                raise NotImplementedError(f"unknown PNG filter {f}")
+            out[r] = rec
+            prev = rec
+        px = out.reshape(h, w, 3)
+        n_px = w * h
+        f0 = (2 * int(px[:, :, 0].sum())) / n_px     # R
+        f1 = (2 * int(px[:, :, 1].sum())) / n_px     # G
+        return w, h, float(f0), float(f1)
+
+    @staticmethod
     def _decode_wav(payload: bytes) -> tuple[int, int, float, float]:
         with wave.open(io.BytesIO(payload), "rb") as wf:
             if wf.getsampwidth() != 2 or wf.getnchannels() != 1:
@@ -224,6 +351,8 @@ class MediaDecoder:
                 w, h, f0, f1 = self._decode_bmp(p)
             elif mt == MEDIA_WAV:
                 w, h, f0, f1 = self._decode_wav(p)
+            elif mt == MEDIA_PNG:
+                w, h, f0, f1 = self._decode_png(p)
             else:
                 w, h, feats = self._fake._decode_one(p)
                 f0, f1 = feats[0], feats[1]

@@ -3585,31 +3585,40 @@ SELECT query_id, vec_id, cosine, rank FROM (
         # immune to float-rounding ties.
         return """
 SELECT doc_id,
-  CASE doc_id % 3 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
+  CASE doc_id % 4 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
+       WHEN 2 THEN 'image/png'
        ELSE 'application/octet-stream' END AS media_type,
-  CAST(CASE doc_id % 3
+  CAST(CASE doc_id % 4
     WHEN 0 THEN 4 + doc_id % 13
     WHEN 1 THEN 8000
+    WHEN 2 THEN 5 + doc_id % 11
     ELSE 1 + ('0x' || substr(md5(text), 1, 8))::UBIGINT % 512
   END AS BIGINT) AS width,
-  CAST(CASE doc_id % 3
+  CAST(CASE doc_id % 4
     WHEN 0 THEN 3 + (doc_id // 7) % 11
     WHEN 1 THEN 64 + doc_id % 128
+    WHEN 2 THEN 3 + (doc_id // 5) % 9
     ELSE 1 + ('0x' || substr(md5(text), 9, 8))::UBIGINT % 512
   END AS BIGINT) AS height,
-  CASE doc_id % 3
+  CASE doc_id % 4
     WHEN 0 THEN CAST(2 * (doc_id % 128)
                      + (4 + doc_id % 13) + (3 + (doc_id // 7) % 11) - 2
                      AS DOUBLE)
     WHEN 1 THEN CAST(2 * (doc_id % 256) + (64 + doc_id % 128) - 1
                      AS DOUBLE)
+    WHEN 2 THEN CAST(2 * (doc_id % 100)
+                     + (5 + doc_id % 11) + (3 + (doc_id // 5) % 9) - 2
+                     AS DOUBLE)
     ELSE round(('0x' || substr(md5(text), 1, 2))::UBIGINT / 255.0, 6)
   END AS f0,
-  CASE doc_id % 3
+  CASE doc_id % 4
     WHEN 0 THEN CAST(2 * ((3 * doc_id) % 128)
                      + (4 + doc_id % 13) + (3 + (doc_id // 7) % 11) - 2
                      AS DOUBLE)
     WHEN 1 THEN CAST((doc_id % 256) + (64 + doc_id % 128) - 1 AS DOUBLE)
+    WHEN 2 THEN CAST(2 * ((5 * doc_id) % 100)
+                     + (5 + doc_id % 11) + (3 + (doc_id // 5) % 9) - 2
+                     AS DOUBLE)
     ELSE round(('0x' || substr(md5(text), 3, 2))::UBIGINT / 255.0, 6)
   END AS f1
 FROM documents"""

@@ -207,16 +207,77 @@ def test_wav_decoder_inverts_encode():
 def test_media_decoder_batch_dispatch():
     """Mixed-media batch: each row decoded by its media_type tier, fake
     tier md5-consistent with FakeDecoder."""
-    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
-                  "text": ["a", "b", "hello world"]})
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                  "text": ["a", "b", "c", "hello world"]})
     out = mm.MediaDecoder()(mm.to_binary_batch(t)).to_pandas()
     assert list(out["media_type"]) == [mm.MEDIA_BMP, mm.MEDIA_WAV,
-                                       mm.MEDIA_FAKE]
+                                       mm.MEDIA_PNG, mm.MEDIA_FAKE]
     assert out["width"].iloc[0] == 4 and out["height"].iloc[0] == 3
     assert out["width"].iloc[1] == mm.WAV_RATE
+    assert out["width"].iloc[2] == 7 and out["height"].iloc[2] == 3
     fw, fh, feats = mm.FakeDecoder._decode_one("hello world".encode())
-    assert (out["width"].iloc[2], out["height"].iloc[2]) == (fw, fh)
-    assert (out["f0"].iloc[2], out["f1"].iloc[2]) == (feats[0], feats[1])
+    assert (out["width"].iloc[3], out["height"].iloc[3]) == (fw, fh)
+    assert (out["f0"].iloc[3], out["f1"].iloc[3]) == (feats[0], feats[1])
+
+
+def test_png_decoder_inverts_encode():
+    """Real PNG decode (chunk walk → zlib inflate → scanline unfilter)
+    must recover the closed-form dims/means synth_png encodes; the
+    encoder cycles None/Sub/Up filters per row, so a decoder that
+    skipped unfiltering fails on every height ≥ 2 image."""
+    for doc_id in range(2, 800, 4):
+        w, h, f0, f1 = mm.MediaDecoder._decode_png(mm.synth_png(doc_id))
+        ew, eh = 5 + doc_id % 11, 3 + (doc_id // 5) % 9
+        assert (w, h) == (ew, eh)
+        assert f0 == 2 * (doc_id % 100) + ew + eh - 2
+        assert f1 == 2 * ((5 * doc_id) % 100) + ew + eh - 2
+
+
+def test_png_decoder_average_paeth_filters():
+    """The unfilter paths synth_png never emits (Average=3, Paeth=4)
+    decode correctly on a hand-filtered image — the decoder handles the
+    full PNG filter spec, not just its own encoder's subset."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    w, hh = 4, 5
+    img = (np.arange(w * hh * 3, dtype=np.int64) * 37 % 256).reshape(
+        hh, w * 3)
+    lines = bytearray()
+    prev = np.zeros(w * 3, np.int64)
+    for r in range(hh):
+        f = [0, 3, 4, 3, 4][r]
+        cur = img[r]
+        filt = np.empty(w * 3, np.int64)
+        for i in range(w * 3):
+            a = img[r][i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if f == 0:
+                filt[i] = cur[i]
+            elif f == 3:
+                filt[i] = (cur[i] - (a + b) // 2) % 256
+            else:
+                p_ = a + b - c
+                pa_, pb_, pc_ = abs(p_ - a), abs(p_ - b), abs(p_ - c)
+                pr = a if (pa_ <= pb_ and pa_ <= pc_) else (
+                    b if pb_ <= pc_ else c)
+                filt[i] = (cur[i] - pr) % 256
+        lines.append(f)
+        lines.extend(filt.astype(np.uint8).tobytes())
+        prev = img[r]
+    ihdr = struct.pack(">IIBBBBB", w, hh, 8, 2, 0, 0, 0)
+    png = (mm.PNG_SIG + mm._png_chunk(b"IHDR", ihdr)
+           + mm._png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+           + mm._png_chunk(b"IEND", b""))
+    dw, dh, df0, df1 = mm.MediaDecoder._decode_png(png)
+    px = img.reshape(hh, w, 3)
+    n_px = w * hh
+    assert (dw, dh) == (w, hh)
+    assert df0 == 2 * px[:, :, 0].sum() / n_px
+    assert df1 == 2 * px[:, :, 1].sum() / n_px
 
 
 def test_histogram_bound_lossless():
