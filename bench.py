@@ -62,6 +62,10 @@ def run_bench() -> dict:
     out_root = os.path.join("/tmp/raykg_bench",
                             f"{sc.sf_tag_of(sf_dir)}_cpus{ncpu}")
     shutil.rmtree(out_root, ignore_errors=True)
+    # the dedup/curation chain persists its verified-pair stage for
+    # cross-process resume (queries._dedup_ckpt_root); a bench must time
+    # the COMPUTE, not a parquet re-read of the previous run's checkpoint
+    os.environ["RAYKG_DEDUP_CKPT"] = os.path.join(out_root, "dedup_ckpt")
 
     queries: dict[str, float] = {}
     t0 = time.time()

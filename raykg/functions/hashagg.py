@@ -464,6 +464,57 @@ def cogroup_apply(sources, keys: Sequence[str],
     return _finish(mapped, per_bucket, coalesce, num_buckets)
 
 
+def drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
+    """Materialize ``ds`` and rebuild it WITHOUT zero-row blocks.
+
+    ``map_groups`` (empty sort partitions) and ``repartition`` (fewer rows
+    than partitions) emit ZERO-COLUMN empty blocks.  They are
+    uncorrectable downstream: Ray skips empty blocks when applying
+    ``map_batches`` UDFs, so the schema-less empties pass through every
+    transform untouched — and when a hash-join partition happens to
+    receive only such a block on one side, Arrow's join fails schema
+    resolution ("No match for FieldRef", flaky because it depends on how
+    keys hash across partitions; observed on the components chain at tiny
+    scale where rows < partitions).  The ``coalesce`` repartition
+    mitigation only merges empties away while every output partition
+    still gets rows.
+
+    Cost: one materialize (callers pass already-materialized datasets —
+    then it's metadata-only when no empties exist, the common big-data
+    case).  When empties ARE present, each surviving block's format is
+    probed by a tiny remote task (a bool comes back, the block doesn't)
+    and the dataset is rebuilt from the surviving block refs."""
+    import ray
+
+    mat = ds.materialize()
+    keep, n_empty = [], 0
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows:
+                keep.append(ref)
+            else:
+                n_empty += 1
+    if not n_empty or not keep:
+        return mat
+
+    @ray.remote(num_cpus=0)
+    def _is_arrow(block) -> bool:
+        return isinstance(block, pa.Table)
+
+    flags = ray.get([_is_arrow.remote(r) for r in keep])
+    arrow_refs = [r for r, f in zip(keep, flags) if f]
+    pandas_refs = [r for r, f in zip(keep, flags) if not f]
+    parts = []
+    if arrow_refs:
+        parts.append(rd.from_arrow_refs(arrow_refs))
+    if pandas_refs:
+        parts.append(rd.from_pandas_refs(pandas_refs))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out.materialize()
+
+
 def arrow_clean(ds: rd.Dataset) -> rd.Dataset:
     """Convert blocks to Arrow and strip schema-level key-value metadata.
 

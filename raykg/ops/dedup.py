@@ -364,8 +364,12 @@ def sets_polars_from_ds(shingle_sets) -> "object":
     Dataset at 200k docs ≈ 100 MB before materializing here)."""
     import polars as pl
     import ray as _ray
-    tbls = [t.select(["doc_id", "shingles", "n"])
-            for t in _ray.get(shingle_sets.to_arrow_refs()) if t.num_rows]
+    # to_arrow_refs passes EMPTY pandas blocks through unconverted (Ray
+    # skips empty blocks in conversion maps) — they may even be
+    # zero-column; skip by generic length, not .num_rows
+    blocks = [b for b in _ray.get(shingle_sets.to_arrow_refs()) if len(b)]
+    tbls = [(t if isinstance(t, pa.Table) else pa.Table.from_pandas(t))
+            .select(["doc_id", "shingles", "n"]) for t in blocks]
     if not tbls:
         return pl.DataFrame(schema={"doc_id": pl.Int64,
                                     "shingles": pl.List(pl.Int64),

@@ -799,20 +799,9 @@ def _verify_pairs_by_join(pairs, docs, shingle_sets=None,
             .select_columns(["doc_a", "doc_b", "jaccard"]))
 
 
-def q_dedup_jaccard_pairs(sf_dir: str):
-    """n-gram Jaccard near-dup via a prefix-filtering set-similarity join
-    (SSJoin/PPJoin prefix principle — lossless for J ≥ t):
-
-    shingle explode → global shingle document-frequency (hash agg) →
-    per-doc keep only the ``n − ⌈t·n⌉ + 1`` globally-RAREST shingles →
-    self-join on those prefix shingles → size-compatibility filter
-    (max(na,nb)·t ≤ min(na,nb)) → distinct candidate pairs → exact Jaccard
-    verify by joining texts back.
-
-    A naive shingle self-join is quadratic in each shingle's document
-    frequency ("of the" appears in ~every doc → |D|² rows); the prefix
-    filter sorts hot shingles out of the join keys entirely while provably
-    keeping every pair that can reach the threshold."""
+def _build_jaccard_pairs(sf_dir: str):
+    """The verified-pair computation behind :func:`q_dedup_jaccard_pairs`
+    (separated so the checkpoint wrapper can skip it entirely on resume)."""
     from raykg.functions import hashagg
     from raykg.ops import dedup as dd
 
@@ -863,14 +852,89 @@ def q_dedup_jaccard_pairs(sf_dir: str):
 
     sets = hashagg.grouped_apply(sh, ["doc_id"], to_sets,
                                  coalesce=_nparts(0.5))
-    out = _verify_pairs_by_join(cand, docs, shingle_sets=sets).materialize()
+    return _verify_pairs_by_join(cand, docs, shingle_sets=sets)
+
+
+def _dedup_chain_digest() -> str:
+    """Digest of the source files that define the dedup chain's semantics —
+    folded into the checkpoint root so ANY code edit auto-invalidates old
+    checkpoints (no version-bump discipline to forget; over-invalidation
+    just recomputes)."""
+    import hashlib
+    h = hashlib.sha1()
+    import raykg.functions.hashagg as _ha
+    import raykg.ops.dedup as _dd
+    for mod_file in (__file__, _dd.__file__, _ha.__file__):
+        with open(mod_file, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()[:10]
+
+
+def _dedup_ckpt_root(sf_dir: str) -> str:
+    """Persistent checkpoint root for the dedup/curation chain, keyed by
+    the INPUT IDENTITY (path + size + mtime of documents.parquet) so a
+    regenerated or different corpus at the same path never reads another
+    corpus' pairs, plus a digest of the chain's source code so checkpoints
+    written by an older code revision are never served as the current
+    answer."""
+    import hashlib
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}"
+        .encode()).hexdigest()[:12]
+    base = os.environ.get(
+        "RAYKG_DEDUP_CKPT",
+        os.path.join("/tmp/raykg_bench", f"dedup_{_dedup_chain_digest()}"))
+    from raykg.sources import synthetic_corpus as sc
+    return os.path.join(base, f"{sc.sf_tag_of(sf_dir)}_{key}")
+
+
+def q_dedup_jaccard_pairs(sf_dir: str):
+    """n-gram Jaccard near-dup via a prefix-filtering set-similarity join
+    (SSJoin/PPJoin prefix principle — lossless for J ≥ t):
+
+    shingle explode → global shingle document-frequency (hash agg) →
+    per-doc keep only the ``n − ⌈t·n⌉ + 1`` globally-RAREST shingles →
+    self-join on those prefix shingles → size-compatibility filter
+    (max(na,nb)·t ≤ min(na,nb)) → distinct candidate pairs → exact Jaccard
+    verify by joining texts back.
+
+    A naive shingle self-join is quadratic in each shingle's document
+    frequency ("of the" appears in ~every doc → |D|² rows); the prefix
+    filter sorts hot shingles out of the join keys entirely while provably
+    keeping every pair that can reach the threshold.
+
+    RESUME (VERDICT r4 #8): the verified-pair table is the expensive head
+    of the whole dedup/curation chain, so it persists as a lineage-
+    checkpointed parquet stage (state/lineage.py — tmp dir → atomic rename
+    → manifest).  A curation run killed after this stage commits resumes
+    past the Jaccard join by reading the manifest'd parquet instead of
+    recomputing the candidate self-join (tests/test_resume_kill.py)."""
+    from raykg.state import lineage
+
+    root = _dedup_ckpt_root(sf_dir)
+    if not lineage.stage_done(root, "jaccard_pairs"):
+        def write(tmp_dir: str) -> None:
+            _build_jaccard_pairs(sf_dir).write_parquet(tmp_dir)
+        lineage.run_stage(root, "jaccard_pairs", write)
+    if lineage.read_manifest(root, "jaccard_pairs")["total_rows"] == 0:
+        # read_parquet cannot infer a schema from zero part files
+        out = rd.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.string()),
+            "doc_b": pa.array([], pa.string()),
+            "jaccard": pa.array([], pa.float64())}))
+    else:
+        out = rd.read_parquet(
+            os.path.join(root, "jaccard_pairs")).materialize()
     _JACC_PAIRS_CACHE[sf_dir] = out
     return out
 
 
 # verified-pair table, session-cached: q_dedup_clusters and
 # q_corpus_curation chain on the SAME pair set q_dedup_jaccard_pairs
-# produces — recomputing the candidate join per chained query is waste
+# produces — recomputing the candidate join per chained query is waste.
+# (The session cache sits ABOVE the on-disk lineage checkpoint: in-process
+# chaining costs zero reads, cross-process resume costs one parquet read.)
 _JACC_PAIRS_CACHE: dict[str, "rd.Dataset"] = {}
 
 
@@ -4199,66 +4263,34 @@ QUERY_FNS = {
     # The driver checks the FIRST 50 entries each round.  Window policy
     # (VERDICT r3 #8): every query whose implementation changed this round
     # sits inside the first 50; only multi-round-green untouched queries
-    # rotate past slot 50.
-    # -- tier 1: implementation changed or added in round 4 ---------------
-    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,   # PPJoin accum filter
-    "dedup_clusters": q_dedup_clusters,             # pointer doubling
-    "corpus_curation": q_corpus_curation,           # widths + chain above
-    "dedup_exact": q_dedup_exact,                   # feeds curation chain
-    "multimodal_features": q_multimodal_features,   # real WAV/BMP decode
-    "gen_scenes": q_gen_scenes,                     # sha pin; no SQL oracle
-    "ann_lsh": q_ann_lsh,                           # multiprobe rewrite
-    "dedup_minhash_pairs": q_dedup_minhash_pairs,   # no SQL oracle (LSH)
-    "simhash": q_simhash,                           # no SQL oracle
-    # the triples sink changed this round (passage-id lists split after the
-    # final sort, commit 7f355fa); the dictionary-encoded exchange that
-    # briefly accompanied it was REVERTED (026a7f4), so the other hashagg
-    # consumers are byte-identical to their twice-green r1/r2 state and
-    # rotate past slot 50
-    "kg_triples": q_kg_triples,
-    "style_chunks": q_style_chunks,                 # NEW in round 4
-    "event_asof_prev": q_event_asof_prev,           # NEW in round 4
-    "timeline_overlap": q_timeline_overlap,         # NEW in round 4
-    "event_window_count": q_event_window_count,     # NEW in round 4
-    # -- tier 2: changed in round 3, keep one more driver round -----------
-    "unit_types": q_unit_types,
-    "voice_signatures": q_voice_signatures,
-    "kg_corpus_stats": q_kg_corpus_stats,
-    "kg_fuzzy_links": q_kg_fuzzy_links,
-    "lore_check": q_lore_check,
-    "timeline_entities": q_timeline_entities,
-    "timeline_alive": q_timeline_alive,
-    "timeline_order": q_timeline_order,
-    "timeline_before": q_timeline_before,
-    "embed_neardup": q_embed_neardup,
-    "ann_topk": q_ann_topk,
-    "style_delta": q_style_delta,
-    "event_order": q_event_order,
-    "dialogue_spans": q_dialogue_spans,
-    "dialogue_spans_all": q_dialogue_spans_all,
-    "kg_merge_verify": q_kg_merge_verify,
-    "kg_merge_candidates": q_kg_merge_candidates,
-    "voice_distinctive": q_voice_distinctive,
-    "style_unit_metrics": q_style_unit_metrics,
-    "style_fingerprint": q_style_fingerprint,
-    # -- tier 3: fill the window, fewest green rounds first ---------------
-    "kg_seeds": q_kg_seeds,
-    "style_zscores": q_style_zscores,
-    "style_type_distribution": q_style_type_distribution,
-    "style_similarity": q_style_similarity,
-    "voice_top_words": q_voice_top_words,
-    "wb_cultures": q_wb_cultures,
-    "wb_magic": q_wb_magic,
-    "wb_geography": q_wb_geography,
-    "kg_units_with_rels": q_kg_units_with_rels,
-    "kg_interactions": q_kg_interactions,
-    "wb_passages": q_wb_passages,
-    "wb_rules": q_wb_rules,
-    "event_entity_links": q_event_entity_links,
-    "voice_profiles": q_voice_profiles,
-    "style_distribution": q_style_distribution,
-    "speaker_entities": q_speaker_entities,
-    # ------- slot 51+ : untouched this round, green in ≥ 2 rounds --------
+    # rotate past slot 50.  Round-5 rotation (VERDICT r4 #5): the 24 tail
+    # queries last driver-checked in r2/r3 re-enter the window; the queries
+    # that were 3-4x green in a row and untouched this round rotate out.
+    # -- tier 1: implementation changed in round 5 -------------------------
+    # (Jaccard verify vectorization de2ef73 + histogram-overlap pruner
+    # c6a5353 -> dedup/curation chain; window-op library ead4624 ->
+    # asof/overlap/window + timeline_*; _nparts() widths cd58c54; PNG tier
+    # 928e0a9 -> multimodal; int64-packed triples exchanges 3fb7e0e ->
+    # triples sink and its consumers.)
+    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,   # vectorized verify
+    "dedup_clusters": q_dedup_clusters,             # chain above
+    "corpus_curation": q_corpus_curation,           # chain above
+    "dedup_exact": q_dedup_exact,                   # chain above
+    "multimodal_features": q_multimodal_features,   # real PNG decode tier
+    "kg_triples": q_kg_triples,                     # int64-packed exchanges
+    "kg_units_with_rels": q_kg_units_with_rels,     # triples consumer+width
+    "kg_interactions": q_kg_interactions,           # triples consumer
+    "kg_merge_candidates": q_kg_merge_candidates,   # _nparts() width
+    "kg_corpus_stats": q_kg_corpus_stats,           # _nparts() width
+    "kg_fuzzy_links": q_kg_fuzzy_links,             # _nparts() width
+    "style_function_words": q_style_function_words, # _nparts() width
+    "event_asof_prev": q_event_asof_prev,           # ops/window.py caller
+    "timeline_overlap": q_timeline_overlap,         # ops/window.py caller
+    "event_window_count": q_event_window_count,     # ops/window.py caller
+    "timeline_entities": q_timeline_entities,       # era-cast guard (ADVICE)
+    "timeline_alive": q_timeline_alive,             # era-cast guard (ADVICE)
+    "timeline_order": q_timeline_order,             # era-cast guard (ADVICE)
+    # -- tier 2: longest-unchecked tail, last driver-green in r2/r3 --------
     "kg_nodes": q_kg_nodes,
     "kg_mention_edges": q_kg_mention_edges,
     "kg_cooccurrence": q_kg_cooccurrence,
@@ -4271,7 +4303,6 @@ QUERY_FNS = {
     "events_dedup": q_events_dedup,
     "style_readability": q_style_readability,
     "style_vocab": q_style_vocab,
-    "style_function_words": q_style_function_words,
     "style_word_lengths": q_style_word_lengths,
     "style_unknown_words": q_style_unknown_words,
     "kg_suggestions": q_kg_suggestions,
@@ -4283,6 +4314,42 @@ QUERY_FNS = {
     "doc_quality": q_doc_quality,
     "doc_langid": q_doc_langid,
     "doc_fingerprint": q_doc_fingerprint,
+    # -- tier 3: fill the window, fewest green rounds first ----------------
+    "style_chunks": q_style_chunks,                 # 1x green (new in r4)
+    "dialogue_spans_all": q_dialogue_spans_all,     # 2x green
+    "kg_merge_verify": q_kg_merge_verify,           # 2x green
+    "timeline_before": q_timeline_before,           # 2x green
+    "gen_scenes": q_gen_scenes,                     # 2x rows-only + sha pin
+    "unit_types": q_unit_types,                     # 3x green
+    "voice_signatures": q_voice_signatures,         # 3x green
+    "lore_check": q_lore_check,                     # 3x green
+    "embed_neardup": q_embed_neardup,               # 3x green
+    # ------- slot 51+ : untouched this round, green in >= 3 rounds --------
+    # (rows-only ann_lsh/minhash/simhash carry recall assertions in tests.)
+    "ann_lsh": q_ann_lsh,
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "simhash": q_simhash,
+    "ann_topk": q_ann_topk,
+    "style_delta": q_style_delta,
+    "event_order": q_event_order,
+    "dialogue_spans": q_dialogue_spans,
+    "voice_distinctive": q_voice_distinctive,
+    "style_unit_metrics": q_style_unit_metrics,
+    "style_fingerprint": q_style_fingerprint,
+    "kg_seeds": q_kg_seeds,
+    "style_zscores": q_style_zscores,
+    "style_type_distribution": q_style_type_distribution,
+    "style_similarity": q_style_similarity,
+    "voice_top_words": q_voice_top_words,
+    "wb_cultures": q_wb_cultures,
+    "wb_magic": q_wb_magic,
+    "wb_geography": q_wb_geography,
+    "wb_passages": q_wb_passages,
+    "wb_rules": q_wb_rules,
+    "event_entity_links": q_event_entity_links,
+    "voice_profiles": q_voice_profiles,
+    "style_distribution": q_style_distribution,
+    "speaker_entities": q_speaker_entities,
 }
 
 # queries with no SQL-expressible oracle → driver records rows-only check

@@ -145,7 +145,11 @@ def components_distributed(edges_ds: rd.Dataset, max_iter: int = 30,
     from raykg.functions import hashagg
     if num_partitions is None:
         num_partitions = _default_partitions()
-    edges = _dedup_edges(edges_ds).materialize()
+    # drop_empty_blocks: the distinct's bucket final emits zero-column
+    # empty blocks for empty sort partitions; at tiny scale (rows <
+    # partitions) one can land ALONE in a join partition below and kill
+    # Arrow's schema resolution (flaky "No match for FieldRef(nbr)").
+    edges = hashagg.drop_empty_blocks(_dedup_edges(edges_ds))
 
     def explode_sym(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -154,11 +158,11 @@ def components_distributed(edges_ds: rd.Dataset, max_iter: int = 30,
         })
 
     sym = edges.map_batches(explode_sym, batch_format="pandas").materialize()
-    labels = hashagg.distinct(
+    labels = hashagg.drop_empty_blocks(hashagg.distinct(
         sym.map_batches(lambda df: df[["node"]], batch_format="pandas"),
         ["node"], coalesce=num_partitions).map_batches(
         lambda df: df.assign(rep=df["node"]),
-        batch_format="pandas").materialize()
+        batch_format="pandas"))
 
     for round_idx in range(1, max_iter + 1):
         left = sym
@@ -201,9 +205,9 @@ def components_distributed(edges_ds: rd.Dataset, max_iter: int = 30,
                      .cast(pl.Int64).alias("changed")))
             return g.select(["node", "rep", "changed"]).to_pandas()
 
-        new_labels = hashagg.grouped_apply(
+        new_labels = hashagg.drop_empty_blocks(hashagg.grouped_apply(
             cand.union(old), ["node"], final_min,
-            _min_rep_partial, coalesce=num_partitions).materialize()
+            _min_rep_partial, coalesce=num_partitions))
         changed = int(new_labels.sum("changed") or 0)
         labels = new_labels.map_batches(
             lambda df: df[["node", "rep"]], batch_format="pandas")

@@ -233,3 +233,38 @@ def test_range_grouped_apply_sorted_and_exact(ray_session):
         out.sort_values("k").reset_index(drop=True), expect)
     # global order: the emitted stream is already sorted by key
     assert list(out["k"]) == sorted(out["k"])
+
+
+def test_drop_empty_blocks(ray_session):
+    """drop_empty_blocks removes zero-row (incl. zero-COLUMN) blocks while
+    preserving rows exactly, across mixed arrow/pandas block types; a
+    clean dataset passes through; an all-empty dataset is returned as-is
+    (callers handle schema)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+    from raykg.functions import hashagg
+
+    def n_empty(ds):
+        return sum(1 for b in ds.materialize().iter_internal_ref_bundles()
+                   for _, m in b.blocks if not m.num_rows)
+
+    # mixed: schema'd arrow + ZERO-COLUMN arrow empty + pandas blocks
+    mixed = rd.from_arrow(
+        [pa.table({"u": pa.array([1, 2], pa.int64())}), pa.table({})]
+    ).union(rd.from_pandas([pd.DataFrame({"u": [3]}),
+                            pd.DataFrame({"u": pd.Series([], dtype="int64")})]))
+    assert n_empty(mixed) == 2
+    clean = hashagg.drop_empty_blocks(mixed)
+    assert n_empty(clean) == 0
+    assert sorted(clean.to_pandas()["u"]) == [1, 2, 3]
+
+    # clean dataset: no rebuild, same rows
+    ds = rd.from_pandas(pd.DataFrame({"u": [5, 6]}))
+    out = hashagg.drop_empty_blocks(ds)
+    assert n_empty(out) == 0 and sorted(out.to_pandas()["u"]) == [5, 6]
+
+    # all-empty: returned materialized, still count()==0
+    empty = rd.from_arrow(pa.table({}))
+    assert hashagg.drop_empty_blocks(empty).count() == 0

@@ -145,15 +145,16 @@ def test_timeline_overlap_range_join(ray_session, monkeypatch):
 
     from raykg.pipelines import queries as Q
 
-    alive = []
-    # a: first..second, b: second..third, c: fourth only, d: unknown->no rows
-    for name, eras in (("a", ["first_age", "second_age"]),
-                       ("b", ["second_age", "third_age"]),
-                       ("c", ["fourth_age"])):
-        for e in eras:
-            alive.append(("acme/r0", name, e, "true"))
-    df = pd.DataFrame(alive, columns=["repo", "name_key", "era", "alive"])
-    monkeypatch.setattr(Q, "q_timeline_alive",
+    # a: first..second, b: second..third, c: fourth only, d: unknown eras
+    # (q_timeline_overlap consumes the lifespan table q_timeline_entities
+    # since the ops/window.range_join refactor — patch that seam)
+    rows = [("acme/r0", "a", "first_age", "second_age"),
+            ("acme/r0", "b", "second_age", "third_age"),
+            ("acme/r0", "c", "fourth_age", "fourth_age"),
+            ("acme/r0", "d", "unknown", "unknown")]
+    df = pd.DataFrame(rows, columns=["repo", "name_key",
+                                     "birth_era", "death_era"])
+    monkeypatch.setattr(Q, "q_timeline_entities",
                         lambda sf: rd.from_pandas(df))
     out = (Q.q_timeline_overlap("ignored").to_pandas()
            .sort_values(["entity_a", "entity_b"]).reset_index(drop=True))
