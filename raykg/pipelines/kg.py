@@ -166,78 +166,37 @@ def nodes_bucket(g: pd.DataFrame,
     return out[["entity_id", "canonical_name", "entity_type", "n_types"]]
 
 
-_UNIT_ID_RE = r"^([0-9a-f]{12})_c(\d{3})_p(\d{5})_s(\d{3})$"
-
-
-def pack_unit_ids(d, col: str = "unit_id"):
-    """INT64 SURROGATE for the unit-id string through the triples
-    exchanges (VERDICT r4 #4): ``unit_id`` has the fixed invertible form
-    ``sha12_cNNN_pNNNNN_sNNN`` (split.unit_id_of), so it packs LOSSLESSLY
-    into two int64s — ``uhi`` = the 48-bit sha prefix (hex order ≡ int
-    order), ``ulo`` = (c << 40) | (p << 16) | s (zero-padded decimal
-    order ≡ tuple order).  (uhi, ulo) numeric order therefore equals the
-    string's lexicographic order, so passage lists stay sorted
-    identically.  16 fixed bytes ride the shuffles instead of a ~29-byte
-    string + offsets; unlike dictionary encoding (measured net loss, r4)
-    a pure function needs no reduce-side unification, and unlike a
-    hash surrogate it needs no lookup table and cannot collide.  Raises
-    on any id outside the format — the engine is the only producer."""
-    import polars as pl
-    g = d.select(pl.col(col).str.extract_groups(_UNIT_ID_RE).alias("g"))["g"]
-    uhi = g.struct.field("1").str.to_integer(base=16, strict=True)
-    ulo = (g.struct.field("2").cast(pl.Int64) * (1 << 40)
-           + g.struct.field("3").cast(pl.Int64) * (1 << 16)
-           + g.struct.field("4").cast(pl.Int64))
-    if uhi.null_count() or ulo.null_count():
-        raise ValueError("unit_id outside the unit_id_of format")
-    return d.with_columns(uhi.alias("uhi"), ulo.alias("ulo")).drop(col)
-
-
-def unpack_unit_ids(blob: bytes) -> list[str]:
-    """Inverse of :func:`pack_unit_ids` over one triple's passage blob
-    (big-endian (uhi, ulo) int64 pairs)."""
-    import numpy as np
-    arr = np.frombuffer(blob, dtype=">i8").reshape(-1, 2)
-    return [f"{hi:012x}_c{lo >> 40:03d}_p{(lo >> 16) & 0xFFFFFF:05d}"
-            f"_s{lo & 0xFFFF:03d}" for hi, lo in arr]
-
-
 def triples_bucket(g: pd.DataFrame) -> pd.DataFrame:
     """A1 triple merge (``RelationshipTriple.merge_with``,
     models/relationships.py:114-125) for ALL (s,p,o) keys in one hashagg
-    bucket.  Input = partial rows keyed (s,p,o,unit-surrogate):
-    mention_count = sum of partial counts, passage ids = sorted distinct
-    units, confidence = max — all via vectorized polars groupbys (the
-    unique-unit pass collapses duplicate (s,p,o,unit) rows arriving from
-    different batches first).  Entity types are attached AFTER this
-    aggregation by a hash join against the nodes table (code-symbol
-    nodes scale with the corpus — never a driver broadcast).
-
-    The sorted per-triple unit list leaves this bucket as ONE fixed-width
-    binary blob of packed (uhi, ulo) pairs — 16 B/unit through the typing
-    joins and the final sort instead of ~30 B/unit of string — and is
-    unpacked back to unit-id strings in the finishing map after the last
-    exchange."""
-    import numpy as np
+    bucket.  Input = partial rows keyed (s,p,o,unit): mention_count = sum of
+    partial counts, passage_ids = sorted distinct units, confidence = max —
+    all via vectorized polars groupbys (the unique-unit pass collapses
+    duplicate (s,p,o,unit) rows arriving from different batches first).
+    Entity types are attached AFTER this aggregation by a hash join against
+    the nodes table (code-symbol nodes scale with the corpus — never a
+    driver broadcast)."""
     import polars as pl
     keys = ["subj_id", "pred", "obj_id"]
     d = pl.from_pandas(g)
-    per_unit = (d.group_by(keys + ["uhi", "ulo"])
+    per_unit = (d.group_by(keys + ["unit_id"])
                 .agg(cnt=pl.col("cnt").sum(),
                      confidence=pl.col("confidence").max())
-                .sort(keys + ["uhi", "ulo"]))   # ≡ sort by unit_id string
+                .sort(keys + ["unit_id"]))
     base = (per_unit.group_by(keys, maintain_order=True)
             .agg(mention_count=pl.col("cnt").sum().cast(pl.Int64),
                  n_units=pl.len().cast(pl.Int64),
-                 uhis=pl.col("uhi"), ulos=pl.col("ulo"),
+                 passage_ids=pl.col("unit_id"),   # sorted (per_unit sort)
                  confidence=pl.col("confidence").max()))
     out = base.rename({"subj_id": "subj", "obj_id": "obj"}).to_pandas()
-    out["passage_blob"] = [
-        np.column_stack([his, los]).astype(">i8").tobytes()
-        for his, los in zip(out["uhis"], out["ulos"])]
+    # list columns are not joinable payloads in Acero — carry the sorted
+    # unit-id list as a joined string through the node-type hash joins and
+    # split it back in the finishing map
+    out["passage_ids_str"] = out["passage_ids"].map(
+        lambda ids: "\x1f".join(ids))
     out["confidence"] = out["confidence"].astype("float64")
     return out[["subj", "pred", "obj", "mention_count", "n_units",
-                "passage_blob", "confidence"]]
+                "passage_ids_str", "confidence"]]
 
 
 # bump when the on-disk stage layout changes — stale checkpoints from an
@@ -524,14 +483,12 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
         # partial aggregation inside the batch (combiner before shuffle):
         # one row per (s,p,o,unit) — polars group_by (string keys are 20×
         # slower through pandas object dtype)
-        agg = (pl.from_pandas(batch[["subj_id", "pred", "obj_id",
-                                      "unit_id", "confidence"]])
-               .group_by(["subj_id", "pred", "obj_id", "unit_id"])
-               .agg(cnt=pl.len().cast(pl.Int64),
-                    confidence=pl.col("confidence").max()))
-        # unit ids ride every downstream exchange as two int64s, not a
-        # ~29-byte string (pack_unit_ids docstring)
-        return pack_unit_ids(agg).to_pandas()
+        return (pl.from_pandas(batch[["subj_id", "pred", "obj_id", "unit_id",
+                                      "confidence"]])
+                .group_by(["subj_id", "pred", "obj_id", "unit_id"])
+                .agg(cnt=pl.len().cast(pl.Int64),
+                     confidence=pl.col("confidence").max())
+                .to_pandas())
 
     def write_triples(tmp: str):
         partials = (read_extract_kind(extract_dir, extract.KIND_REL)
@@ -571,7 +528,7 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
                 df["subj_type"] = df["subj"].map(tmap).fillna("unknown")
                 df["obj_type"] = df["obj"].map(tmap).fillna("unknown")
                 return df[["subj", "pred", "obj", "subj_type", "obj_type",
-                           "mention_count", "n_units", "passage_blob",
+                           "mention_count", "n_units", "passage_ids_str",
                            "confidence"]]
 
             typed = merged.map_batches(finish, batch_format="pandas")
@@ -592,7 +549,7 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
                 df["subj_type"] = df["subj_type"].fillna("unknown")
                 df["obj_type"] = df["obj_type"].fillna("unknown")
                 return df[["subj", "pred", "obj", "subj_type", "obj_type",
-                           "mention_count", "n_units", "passage_blob",
+                           "mention_count", "n_units", "passage_ids_str",
                            "confidence"]]
 
             typed = (hashagg.coalesced_join(merged, nodes_s, on=("subj",),
@@ -603,13 +560,12 @@ def build_kg(sf_dir: str, out_root: str | None = None, force: bool = False,
                      .map_batches(finish, batch_format="pandas"))
 
         # the unit-id payload traverses the final sort exchange as ONE
-        # fixed-width binary blob of packed int64 pairs per triple
-        # (16 B/unit); the list<string> materializes in a local map AFTER
-        # the sort — neither string bytes nor list offsets ever ride the
-        # all-to-all (VERDICT r3 item 2 + r4 #4: shrink exchanged bytes)
+        # joined string per triple; the list<string> split happens in a
+        # local map AFTER the sort — list offsets/objects never ride the
+        # all-to-all (VERDICT r3 item 2: shrink exchanged bytes)
         def split_passages(df: pd.DataFrame) -> pd.DataFrame:
             df = df.copy()
-            df["passage_ids"] = df["passage_blob"].map(unpack_unit_ids)
+            df["passage_ids"] = df["passage_ids_str"].str.split("\x1f")
             return df[["subj", "pred", "obj", "subj_type", "obj_type",
                        "mention_count", "n_units", "passage_ids",
                        "confidence"]]

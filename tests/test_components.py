@@ -48,50 +48,18 @@ def test_components_distributed(ray_session):
 def test_graph_assembly_merge():
     # A1 merge semantics (models/relationships.py:114-125):
     # k candidates with same (s,p,o) → mention_count=k, passage set-union
-    import polars as pl
-
-    from raykg.pipelines.kg import (pack_unit_ids, triples_bucket,
-                                    unpack_unit_ids)
-    u1 = "00000000000a_c001_p00001_s001"
-    u2 = "00000000000a_c001_p00001_s002"
-    u3 = "00000000000a_c001_p00002_s001"
+    from raykg.pipelines.kg import triples_bucket
     # partial rows keyed (s,p,o,unit) — u1 seen by two batches (dup row)
-    g = pack_unit_ids(pl.DataFrame({
+    g = pd.DataFrame({
         "subj_id": ["a"] * 4, "pred": ["MET"] * 4, "obj_id": ["b"] * 4,
-        "unit_id": [u1, u1, u2, u3],
+        "unit_id": ["u1", "u1", "u2", "u3"],
         "cnt": [1, 1, 1, 1], "confidence": [0.7, 0.9, 0.9, 0.8],
-    })).to_pandas()
+    })
     out = triples_bucket(g)
     assert out["mention_count"].iloc[0] == 4
-    assert unpack_unit_ids(out["passage_blob"].iloc[0]) == [u1, u2, u3]
+    assert out["passage_ids_str"].iloc[0] == "u1\x1fu2\x1fu3"
     assert out["n_units"].iloc[0] == 3
     assert out["confidence"].iloc[0] == 0.9
-
-
-def test_pack_unit_ids_roundtrip_and_order():
-    # the packed (uhi, ulo) numeric order must equal unit_id string order,
-    # and unpack must invert pack exactly
-    import numpy as np
-    import polars as pl
-
-    from raykg.pipelines.kg import pack_unit_ids, unpack_unit_ids
-    from raykg.stages.split import unit_id_of
-    ids = [unit_id_of("deadbeef0123cafe", c, p, s)
-           for c in (0, 1, 2, 999) for p in (0, 1, 99999)
-           for s in (0, 5, 999)]
-    ids += [unit_id_of("000000000000ffff", 1, 2, 3)]
-    d = pack_unit_ids(pl.DataFrame({"unit_id": ids}))
-    uhi = d["uhi"].to_numpy()
-    ulo = d["ulo"].to_numpy()
-    blob = np.column_stack([uhi, ulo]).astype(">i8").tobytes()
-    assert unpack_unit_ids(blob) == ids
-    # numeric pair order ≡ string lexicographic order
-    order = np.lexsort((ulo, uhi))
-    assert [ids[i] for i in order] == sorted(ids)
-    # malformed ids must fail loudly, never silently corrupt
-    import pytest
-    with pytest.raises(Exception):
-        pack_unit_ids(pl.DataFrame({"unit_id": ["not-a-unit-id"]}))
 
 
 def test_hashagg_extreme_skew(ray_session):
