@@ -164,3 +164,122 @@ class LshTopK:
                 rows["cosine"].append(round(float(sims[j]), SIM_ROUND))
         return pd.DataFrame(rows).astype({"query_id": "int64",
                                           "vec_id": "int64"})
+
+
+# ------------------------------------------------------------- IVF ANN
+# The other classic ANN scale path (complement to LSH): a coarse
+# quantizer (k-means centroids) partitions the vector space into nlist
+# inverted lists; each query probes only its NPROBE nearest lists, so
+# scored candidates drop from O(N) to O(N * nprobe / nlist).  Centroids
+# train on a deterministic hash-strided SAMPLE (distributed scan that
+# ships only the sample to the driver — never the full table), the same
+# pattern a 100 TB run would use.  Like the LSH path, scoring is a
+# stateless broadcast map: assignment is one matmul per batch against
+# the broadcast centroid matrix, so there is NO shuffle — only the final
+# per-query top-k merge groups.
+IVF_SAMPLE = 2048          # training-sample size (driver-side k-means)
+IVF_ITERS = 10             # Lloyd iterations (deterministic init)
+# Operating point tuned on the synthetic embeddings — deliberately
+# HOSTILE data for IVF (top-5 neighbor cosine ~0.3, nearly unclustered),
+# so the probe budget is generous: probe the nearest HALF of the lists
+# and assign each vector to its top-IVF_ASSIGN lists (multi-assignment —
+# a neighbor is found if ANY of its lists is probed).  Measured recall
+# 0.25/single-assign 0.66 → 0.5/assign-2 0.94+ at sf0.01.  On genuinely
+# clustered corpora the same code runs at a far smaller frac; candidates
+# per query stay O(N·frac) with the constant shrinking as nlist ~ sqrt(N).
+IVF_NPROBE_FRAC = 0.5
+IVF_MIN_NPROBE = 4
+IVF_ASSIGN = 2             # index-side multi-assignment width
+
+
+def ivf_nlist(n_rows: int) -> int:
+    """~sqrt(N) lists, clamped: candidate work per query is
+    O(N * nprobe / nlist) = O(sqrt(N) * const) — the standard IVF
+    operating point."""
+    return int(np.clip(int(np.sqrt(max(4, n_rows))), 4, 4096))
+
+
+def ivf_train(sample: np.ndarray, nlist: int,
+              iters: int = IVF_ITERS) -> np.ndarray:
+    """Deterministic Lloyd's k-means over the (normalized) sample.
+    Init = evenly strided sample rows (a deterministic spread over the
+    id-strided sample); empty lists re-seed to the point farthest from
+    its centroid, so no list dies."""
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    x = sample / np.where(norms == 0, 1, norms)
+    nlist = min(nlist, len(x))
+    cent = x[np.linspace(0, len(x) - 1, nlist).astype(int)].copy()
+    for _ in range(iters):
+        sims = x @ cent.T                          # cosine == dot (unit)
+        assign = np.argmax(sims, axis=1)
+        for li in range(nlist):
+            m = assign == li
+            if m.any():
+                c = x[m].mean(axis=0)
+                n = np.linalg.norm(c)
+                cent[li] = c / (n if n else 1)
+            else:                                  # re-seed a dead list
+                worst = int(np.argmin(sims[np.arange(len(x)), assign]))
+                cent[li] = x[worst]
+    return cent
+
+
+def ivf_plan(qn: np.ndarray, cent: np.ndarray
+             ) -> dict[int, list[int]]:
+    """Driver-side probe plan: list_id -> query positions probing it
+    (each query probes its NPROBE nearest centroids).  Size
+    O(n_queries * nprobe) — broadcast once."""
+    nlist = len(cent)
+    nprobe = max(IVF_MIN_NPROBE, int(np.ceil(nlist * IVF_NPROBE_FRAC)))
+    nprobe = min(nprobe, nlist)
+    sims = qn @ cent.T                             # (nq, nlist)
+    plan: dict[int, list[int]] = {}
+    for qpos in range(len(qn)):
+        idx = np.argpartition(-sims[qpos], nprobe - 1)[:nprobe]
+        for li in idx:
+            plan.setdefault(int(li), []).append(qpos)
+    return plan
+
+
+class IvfTopK:
+    """map_batches callable for the IVF candidate scorer: assign the
+    batch's vectors to their IVF_ASSIGN nearest centroids (one matmul
+    against the broadcast centroid matrix), union each query's
+    candidates across its probed lists (boolean mask — a vector in two
+    probed lists is scored once), then one matmul per query over only
+    its candidates.  State (centroids + plan + query matrix) is
+    broadcast via ray.put -> fetched once per worker process."""
+
+    def __init__(self, state_ref):
+        from raykg.functions.broadcast import get_cached
+        self.cent, self.plan, self.q_ids, self.qn = get_cached(state_ref)
+
+    def __call__(self, t: pa.Table) -> pd.DataFrame:
+        ids, vecs = embedding_matrix(t)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        vn = vecs / np.where(norms == 0, 1, norms)
+        csims = vn @ self.cent.T                   # (batch, nlist)
+        w = min(IVF_ASSIGN, csims.shape[1])
+        assign = np.argpartition(-csims, w - 1, axis=1)[:, :w]
+        nq = len(self.q_ids)
+        cand = np.zeros((nq, len(ids)), dtype=bool)
+        for li in np.unique(assign):
+            qlist = self.plan.get(int(li))
+            if qlist:
+                m = (assign == li).any(axis=1)
+                for qpos in qlist:
+                    cand[qpos] |= m
+        rows = {"query_id": [], "vec_id": [], "cosine": []}
+        for qpos in range(nq):
+            js = np.nonzero(cand[qpos])[0]
+            if js.size == 0:
+                continue
+            sims = self.qn[qpos] @ vn[js].T
+            k = min(TOP_K + 1, js.size)            # +1 to survive self-hit
+            idx = np.argpartition(-sims, k - 1)[:k]
+            for j in idx:
+                rows["query_id"].append(int(self.q_ids[qpos]))
+                rows["vec_id"].append(int(ids[js[j]]))
+                rows["cosine"].append(round(float(sims[j]), SIM_ROUND))
+        return pd.DataFrame(rows).astype({"query_id": "int64",
+                                          "vec_id": "int64"})

@@ -1997,6 +1997,58 @@ def q_ann_lsh(sf_dir: str):
             .map_groups(sim.final_topk, batch_format="pandas"))
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF-bucketed ANN (the other classic scale path, complementing
+    ann_lsh; rows-only + recall-measured): a coarse k-means quantizer
+    partitions the space into ~sqrt(N) inverted lists; each query probes
+    its nearest quarter of the lists, so scored candidates drop from
+    O(N) to O(N·nprobe/nlist).  Centroids train on a deterministic
+    id-strided sample collected by a DISTRIBUTED scan (only the ~2k
+    sample rows reach the driver — the pattern a 100 TB corpus needs);
+    list assignment + scoring is a stateless broadcast map per batch —
+    no shuffle at all.  Recall vs brute-force ann_topk asserted >= 0.9
+    in tests/test_breadth_ops.py (the ann_lsh silent-collapse guard,
+    applied to this family too)."""
+    import ray
+    import numpy as np
+    from raykg.ops import similarity as sim
+    import pyarrow.parquet as pq_
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    n_rows = pq_.read_metadata(path).num_rows      # footer only, no scan
+    qtbl = pq_.read_table(path, columns=["vec_id", "embedding"],
+                          filters=[("vec_id", "<", sim.N_QUERIES)])
+    q_ids = np.asarray(qtbl["vec_id"].to_pylist(), dtype=np.int64)
+    qm = np.asarray(qtbl["embedding"].to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(qm, axis=1, keepdims=True)
+    qn = qm / np.where(norms == 0, 1, norms)
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    stride = max(1, n_rows // sim.IVF_SAMPLE)
+
+    def strided(t: pa.Table) -> pa.Table:
+        # pyarrow.compute has no modulo kernel — numpy mask, zero-copy ids
+        mask = (t["vec_id"].to_numpy() % stride) == 0
+        return t.filter(pa.array(mask))
+
+    sample_rows = ds.map_batches(
+        strided, batch_format="pyarrow").take_all()  # bounded ~IVF_SAMPLE
+    sample = np.asarray([r["embedding"] for r in sample_rows],
+                        dtype=np.float64)
+    cent = sim.ivf_train(sample, sim.ivf_nlist(n_rows))
+    plan = sim.ivf_plan(qn, cent)
+    state_ref = ray.put((cent, plan, q_ids, qn))
+
+    class TopK(sim.IvfTopK):
+        def __init__(self):
+            super().__init__(state_ref)
+
+    return (ds.map_batches(TopK, batch_format="pyarrow",
+                           batch_size=4096, concurrency=(1, 4),
+                           max_restarts=0)
+            .groupby("query_id")
+            .map_groups(sim.final_topk, batch_format="pandas"))
+
+
 # ----------------------------------------------------- temporal reasoning
 
 def _lifespan_rows(sf_dir: str):
@@ -4290,6 +4342,7 @@ QUERY_FNS = {
     "timeline_entities": q_timeline_entities,       # era-cast guard (ADVICE)
     "timeline_alive": q_timeline_alive,             # era-cast guard (ADVICE)
     "timeline_order": q_timeline_order,             # era-cast guard (ADVICE)
+    "ann_ivf": q_ann_ivf,                           # NEW in round 5
     # -- tier 2: longest-unchecked tail, last driver-green in r2/r3 --------
     "kg_nodes": q_kg_nodes,
     "kg_mention_edges": q_kg_mention_edges,
@@ -4323,8 +4376,8 @@ QUERY_FNS = {
     "unit_types": q_unit_types,                     # 3x green
     "voice_signatures": q_voice_signatures,         # 3x green
     "lore_check": q_lore_check,                     # 3x green
-    "embed_neardup": q_embed_neardup,               # 3x green
     # ------- slot 51+ : untouched this round, green in >= 3 rounds --------
+    "embed_neardup": q_embed_neardup,
     # (rows-only ann_lsh/minhash/simhash carry recall assertions in tests.)
     "ann_lsh": q_ann_lsh,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -4354,4 +4407,4 @@ QUERY_FNS = {
 
 # queries with no SQL-expressible oracle → driver records rows-only check
 NO_ORACLE = frozenset({"dedup_minhash_pairs", "simhash", "ann_lsh",
-                       "gen_scenes"})
+                       "ann_ivf", "gen_scenes"})

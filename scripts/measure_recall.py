@@ -45,6 +45,12 @@ def measure(sf_dir: str) -> dict:
     ann_recall = (len(ann_truth & ann_got) / len(ann_truth)) if ann_truth \
         else 1.0
 
+    ivf = Q.q_ann_ivf(sf_dir).to_pandas()
+    ivf_got = {(int(q), int(v)) for q, v in
+               zip(ivf["query_id"], ivf["vec_id"])}
+    ivf_recall = (len(ann_truth & ivf_got) / len(ann_truth)) if ann_truth \
+        else 1.0
+
     # simhash separation: near-dup pairs vs random non-dup pairs
     sh = Q.q_simhash(sf_dir).to_pandas()
     fp = {int(d): int(h, 16) for d, h in zip(sh["doc_id"],
@@ -75,6 +81,7 @@ def measure(sf_dir: str) -> dict:
         "minhash_recall": round(minhash_recall, 4),
         "n_true_topk": len(ann_truth),
         "ann_lsh_recall": round(ann_recall, 4),
+        "ann_ivf_recall": round(ivf_recall, 4),
         "simhash_mean_hamming_dup": round(float(np.mean(dup_d)), 2)
         if dup_d else None,
         "simhash_mean_hamming_random": round(float(np.mean(rand_d)), 2),

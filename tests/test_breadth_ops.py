@@ -234,5 +234,6 @@ def test_lsh_family_recall(ray_session):
     assert m["n_true_jaccard_pairs"] > 0 and m["n_true_topk"] > 0
     assert m["minhash_recall"] >= 0.9, m
     assert m["ann_lsh_recall"] >= 0.9, m
+    assert m["ann_ivf_recall"] >= 0.9, m
     assert (m["simhash_mean_hamming_dup"] * 2
             < m["simhash_mean_hamming_random"]), m
